@@ -1,0 +1,17 @@
+"""kimera_vio_tpu — a TPU-native visual-inertial odometry framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+MIT-SPARK/Kimera-VIO: stereo/mono/RGB-D + IMU state estimation with a
+fixed-lag smoothing backend, 3D mesher, and loop closure + pose-graph
+optimization. See SURVEY.md at the repo root for the blueprint.
+"""
+
+__version__ = "0.1.0"
+
+# TPU matmuls default to bfloat16 inputs; the geometric core (rotation
+# chains, Jacobians, normal equations) needs true float32 accumulation.
+# Hot image-processing matmuls opt back down with an explicit
+# `precision=` / `preferred_element_type=` at the call site.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

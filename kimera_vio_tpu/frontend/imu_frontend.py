@@ -1,0 +1,263 @@
+"""On-manifold IMU preintegration (Forster et al., TRO 2017) as a lax.scan.
+
+TPU-native replacement of the reference's GTSAM-backed `ImuFrontend`
+(reference src/imu-frontend/ImuFrontend.cpp:158-197, which loops
+`integrateMeasurement(acc, gyro, dt)` over a 6xN block). Here the whole
+block integrates in one fused `lax.scan` over a fixed-capacity, masked
+`ImuBlock`, carrying:
+
+  * DeltaR (3,3), delta_v (3,), delta_p (3,) — the preintegrated motion,
+  * 9x9 preintegration covariance (order: [dtheta, dv, dp]),
+  * bias Jacobians dR/dbg (3,3), dv/dba, dv/dbg, dp/dba, dp/dbg,
+  * delta_t total integration time.
+
+Supports both reference preintegration flavors
+(`ImuPreintegrationType` 0=Combined, 1=ImuFactor — ImuFrontend.cpp:68-121):
+the `Combined` flavor extends the covariance to 15x15 by propagating bias
+random walk inside the PIM; the plain flavor leaves the bias-random-walk
+between-factor to the backend (as GTSAM does).
+
+Everything is branch-free: padded samples carry dt=0 / mask=False and
+contribute exactly nothing (exp(0)=I), so one compiled scan serves any
+actual number of measurements.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from kimera_vio_tpu.common import geometry as geo
+from kimera_vio_tpu.common.types import ImuBias, ImuBlock, NavState
+
+
+@struct.dataclass
+class PimParams:
+    """Device-side preintegration noise parameters (from ImuParams YAML)."""
+
+    gyro_noise_density: jax.Array  # scalar
+    acc_noise_density: jax.Array
+    integration_sigma: jax.Array
+    gyro_random_walk: jax.Array
+    acc_random_walk: jax.Array
+    n_gravity: jax.Array  # (3,)
+
+    @classmethod
+    def from_params(cls, imu_params) -> "PimParams":
+        f = lambda x: jnp.asarray(x, jnp.float32)
+        return cls(
+            gyro_noise_density=f(imu_params.gyro_noise_density),
+            acc_noise_density=f(imu_params.acc_noise_density),
+            integration_sigma=f(imu_params.imu_integration_sigma),
+            gyro_random_walk=f(imu_params.gyro_random_walk),
+            acc_random_walk=f(imu_params.acc_random_walk),
+            n_gravity=f(imu_params.n_gravity),
+        )
+
+
+@struct.dataclass
+class Pim:
+    """Preintegrated IMU measurements between two (key)frames."""
+
+    delta_R: jax.Array  # (3,3)
+    delta_v: jax.Array  # (3,)
+    delta_p: jax.Array  # (3,)
+    delta_t: jax.Array  # scalar
+    cov: jax.Array  # (9,9) [dtheta, dv, dp]
+    # Bias Jacobians (first-order correction terms, Forster eq. 44).
+    dR_dbg: jax.Array  # (3,3)
+    dv_dba: jax.Array  # (3,3)
+    dv_dbg: jax.Array  # (3,3)
+    dp_dba: jax.Array  # (3,3)
+    dp_dbg: jax.Array  # (3,3)
+    bias_hat: ImuBias  # bias used during integration
+
+    @classmethod
+    def zero(cls, bias: ImuBias | None = None, dtype=jnp.float32) -> "Pim":
+        z33 = jnp.zeros((3, 3), dtype)
+        return cls(
+            delta_R=jnp.eye(3, dtype=dtype),
+            delta_v=jnp.zeros(3, dtype),
+            delta_p=jnp.zeros(3, dtype),
+            delta_t=jnp.zeros((), dtype),
+            cov=jnp.zeros((9, 9), dtype),
+            dR_dbg=z33,
+            dv_dba=z33,
+            dv_dbg=z33,
+            dp_dba=z33,
+            dp_dbg=z33,
+            bias_hat=bias if bias is not None else ImuBias.zero(dtype),
+        )
+
+
+def _integrate_step(params: PimParams, carry: Pim, sample) -> tuple[Pim, None]:
+    """One Forster preintegration step (corrected measurement, dt)."""
+    acc, gyr, dt = sample
+    pim = carry
+    a = acc - pim.bias_hat.accel
+    w = gyr - pim.bias_hat.gyro
+
+    dR_inc = geo.so3_exp(w * dt)
+    Jr = geo.so3_right_jacobian(w * dt)
+    R_k = pim.delta_R  # DeltaR up to (not incl.) this sample
+    Ra = (R_k @ a[..., None])[..., 0]
+
+    new_delta_p = pim.delta_p + pim.delta_v * dt + 0.5 * Ra * dt * dt
+    new_delta_v = pim.delta_v + Ra * dt
+    new_delta_R = R_k @ dR_inc
+
+    # --- covariance propagation (Forster eq. 63): state [dtheta, dv, dp] ---
+    A = jnp.zeros((9, 9), pim.cov.dtype)
+    A = A.at[0:3, 0:3].set(dR_inc.T)
+    Ra_hat = geo.hat(Ra)
+    A = A.at[3:6, 0:3].set(-Ra_hat * dt)
+    A = A.at[6:9, 0:3].set(-0.5 * Ra_hat * dt * dt)
+    A = A.at[3:6, 3:6].set(jnp.eye(3))
+    A = A.at[6:9, 3:6].set(jnp.eye(3) * dt)
+    A = A.at[6:9, 6:9].set(jnp.eye(3))
+
+    # Continuous-time white noise -> discrete: sigma^2 / dt on the measurement,
+    # mapped through the measurement Jacobians (B matrices).
+    safe_dt = jnp.maximum(dt, 1e-12)
+    gyro_cov = (params.gyro_noise_density**2 / safe_dt) * jnp.eye(3)
+    acc_cov = (params.acc_noise_density**2 / safe_dt) * jnp.eye(3)
+    int_cov = (params.integration_sigma**2 * safe_dt) * jnp.eye(3)
+
+    Bg = jnp.zeros((9, 3), pim.cov.dtype).at[0:3, :].set(Jr * dt)
+    Ba = (
+        jnp.zeros((9, 3), pim.cov.dtype)
+        .at[3:6, :]
+        .set(R_k * dt)
+        .at[6:9, :]
+        .set(0.5 * R_k * dt * dt)
+    )
+    new_cov = (
+        A @ pim.cov @ A.T
+        + Bg @ gyro_cov @ Bg.T
+        + Ba @ acc_cov @ Ba.T
+    )
+    # Integration noise on position (GTSAM's integrationCovariance).
+    new_cov = new_cov.at[6:9, 6:9].add(int_cov)
+
+    # --- bias Jacobians (Forster eq. 44 supplementary) ---
+    new_dp_dba = pim.dp_dba + pim.dv_dba * dt - 0.5 * R_k * dt * dt
+    new_dp_dbg = pim.dp_dbg + pim.dv_dbg * dt - 0.5 * Ra_hat @ pim.dR_dbg * dt * dt
+    new_dv_dba = pim.dv_dba - R_k * dt
+    new_dv_dbg = pim.dv_dbg - Ra_hat @ pim.dR_dbg * dt
+    new_dR_dbg = dR_inc.T @ pim.dR_dbg - Jr * dt
+
+    # Masked (dt == 0) samples must be exact no-ops.
+    valid = dt > 0.0
+
+    def sel(new, old):
+        return jnp.where(valid, new, old)
+
+    out = Pim(
+        delta_R=sel(new_delta_R, pim.delta_R),
+        delta_v=sel(new_delta_v, pim.delta_v),
+        delta_p=sel(new_delta_p, pim.delta_p),
+        delta_t=sel(pim.delta_t + dt, pim.delta_t),
+        cov=sel(new_cov, pim.cov),
+        dR_dbg=sel(new_dR_dbg, pim.dR_dbg),
+        dv_dba=sel(new_dv_dba, pim.dv_dba),
+        dv_dbg=sel(new_dv_dbg, pim.dv_dbg),
+        dp_dba=sel(new_dp_dba, pim.dp_dba),
+        dp_dbg=sel(new_dp_dbg, pim.dp_dbg),
+        bias_hat=pim.bias_hat,
+    )
+    return out, None
+
+
+def preintegrate(
+    params: PimParams,
+    block: ImuBlock,
+    bias: ImuBias,
+    init: Pim | None = None,
+) -> Pim:
+    """Preintegrate a (masked) IMU block, optionally continuing from `init`.
+
+    Mirrors reference ImuFrontend::preintegrateImuMeasurements
+    (src/imu-frontend/ImuFrontend.cpp:158-197). Passing `init` continues an
+    inter-keyframe accumulation across frames (the reference keeps one PIM
+    object alive and resets it on keyframes,
+    StereoVisionImuFrontend.cpp:201).
+    """
+    pim0 = init if init is not None else Pim.zero(bias)
+    dt = jnp.where(block.mask, block.dt, 0.0)
+    pim, _ = jax.lax.scan(
+        partial(_integrate_step, params), pim0, (block.acc, block.gyr, dt)
+    )
+    return pim
+
+
+def preintegrate_gyro(block: ImuBlock, gyro_bias: jax.Array) -> jax.Array:
+    """Gyro-only rotation preintegration (AHRS-style), used for time
+    alignment (reference ImuFrontend::preintegrateGyroMeasurements,
+    ImuFrontend.cpp:200-220). Returns DeltaR (3,3)."""
+
+    def step(R, sample):
+        gyr, dt, m = sample
+        dR = geo.so3_exp((gyr - gyro_bias) * jnp.where(m, dt, 0.0))
+        return R @ dR, None
+
+    R, _ = jax.lax.scan(
+        step, jnp.eye(3, dtype=block.gyr.dtype), (block.gyr, block.dt, block.mask)
+    )
+    return R
+
+
+def pim_with_bias_correction(pim: Pim, bias: ImuBias):
+    """First-order bias-corrected (delta_R, delta_v, delta_p) at a new bias
+    estimate (Forster eq. 44). Used by the IMU factor residual."""
+    dbg = bias.gyro - pim.bias_hat.gyro
+    dba = bias.accel - pim.bias_hat.accel
+    dR = pim.delta_R @ geo.so3_exp(pim.dR_dbg @ dbg)
+    dv = pim.delta_v + pim.dv_dba @ dba + pim.dv_dbg @ dbg
+    dp = pim.delta_p + pim.dp_dba @ dba + pim.dp_dbg @ dbg
+    return dR, dv, dp
+
+
+def pim_predict(pim: Pim, state: NavState, bias: ImuBias, n_gravity: jax.Array) -> NavState:
+    """Predict the nav state at the end of the preintegration interval —
+    the backend's initial guess source (reference VioBackend.cpp:797-891,
+    PoseGuessSource::IMU)."""
+    dR, dv, dp = pim_with_bias_correction(pim, bias)
+    dt = pim.delta_t
+    R_i, p_i, v_i = state.rot, state.pos, state.vel
+    R_j = R_i @ dR
+    v_j = v_i + n_gravity * dt + (R_i @ dv[..., None])[..., 0]
+    p_j = (
+        p_i
+        + v_i * dt
+        + 0.5 * n_gravity * dt * dt
+        + (R_i @ dp[..., None])[..., 0]
+    )
+    return NavState(rot=R_j, pos=p_j, vel=v_j)
+
+
+def imu_residual(
+    pim: Pim,
+    state_i: NavState,
+    bias_i: ImuBias,
+    state_j: NavState,
+    n_gravity: jax.Array,
+) -> jax.Array:
+    """9-dim on-manifold preintegration residual [r_R, r_v, r_p]
+    (Forster eq. 45), whitened later by the factor's information matrix.
+
+    Convention: r_R = Log(dR_corrected^T R_i^T R_j).
+    """
+    dR, dv, dp = pim_with_bias_correction(pim, bias_i)
+    dt = pim.delta_t
+    R_i, p_i, v_i = state_i.rot, state_i.pos, state_i.vel
+    R_j, p_j, v_j = state_j.rot, state_j.pos, state_j.vel
+    RiT = R_i.T
+    r_R = geo.so3_log(dR.T @ (RiT @ R_j))
+    r_v = (RiT @ (v_j - v_i - n_gravity * dt)[..., None])[..., 0] - dv
+    r_p = (
+        RiT @ (p_j - p_i - v_i * dt - 0.5 * n_gravity * dt * dt)[..., None]
+    )[..., 0] - dp
+    return jnp.concatenate([r_R, r_v, r_p], axis=-1)
