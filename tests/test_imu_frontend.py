@@ -1,0 +1,204 @@
+"""IMU preintegration tests.
+
+Strategy mirrors the reference's testImuFrontend.cpp: synthetic constant
+motion with known ground truth, plus invariants (mask no-ops, bias
+correction consistency)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kimera_vio_tpu.common import geometry as geo
+from kimera_vio_tpu.common.types import ImuBias, ImuBlock, NavState
+from kimera_vio_tpu.config.params import ImuParams
+from kimera_vio_tpu.frontend import imu_frontend as imu
+
+PARAMS = imu.PimParams.from_params(ImuParams())
+GRAVITY = jnp.array([0.0, 0.0, -9.81])
+
+
+def make_block(acc, gyr, dt, n_pad=0):
+    n = acc.shape[0]
+    pad = lambda x, v=0.0: jnp.concatenate(
+        [jnp.asarray(x, jnp.float32), jnp.full((n_pad,) + x.shape[1:], v, jnp.float32)]
+    )
+    return ImuBlock(
+        acc=pad(acc),
+        gyr=pad(gyr),
+        dt=pad(dt),
+        mask=jnp.concatenate([jnp.ones(n, bool), jnp.zeros(n_pad, bool)]),
+    )
+
+
+def numpy_preintegrate(acc, gyr, dts, bias_a=np.zeros(3), bias_g=np.zeros(3)):
+    """Straightforward per-sample reference integration (same recursion as
+    the Forster equations, unvectorized)."""
+    from scipy.spatial.transform import Rotation
+
+    dR = np.eye(3)
+    dv = np.zeros(3)
+    dp = np.zeros(3)
+    for a, w, dt in zip(acc, gyr, dts):
+        a = a - bias_a
+        w = w - bias_g
+        dp = dp + dv * dt + 0.5 * dR @ a * dt * dt
+        dv = dv + dR @ a * dt
+        dR = dR @ Rotation.from_rotvec(w * dt).as_matrix()
+    return dR, dv, dp
+
+
+def test_matches_numpy_reference_integration():
+    rng = np.random.default_rng(0)
+    n = 20
+    acc = rng.normal(0, 2, (n, 3))
+    gyr = rng.normal(0, 0.5, (n, 3))
+    dts = np.full(n, 0.005)
+    block = make_block(acc, gyr, dts, n_pad=12)
+    pim = imu.preintegrate(PARAMS, block, ImuBias.zero())
+    dR, dv, dp = numpy_preintegrate(acc, gyr, dts)
+    np.testing.assert_allclose(np.asarray(pim.delta_R), dR, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pim.delta_v), dv, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pim.delta_p), dp, atol=1e-5)
+    assert abs(float(pim.delta_t) - 0.1) < 1e-6
+
+
+def test_padding_is_noop():
+    rng = np.random.default_rng(1)
+    n = 10
+    acc = rng.normal(0, 2, (n, 3))
+    gyr = rng.normal(0, 0.5, (n, 3))
+    dts = np.full(n, 0.005)
+    p1 = imu.preintegrate(PARAMS, make_block(acc, gyr, dts, n_pad=0), ImuBias.zero())
+    # Padding carries garbage values but mask=False / dt=0.
+    block = make_block(acc, gyr, dts, n_pad=22)
+    block = block.replace(acc=block.acc.at[n:].set(99.0), gyr=block.gyr.at[n:].set(-7.0))
+    p2 = imu.preintegrate(PARAMS, block, ImuBias.zero())
+    for f in ["delta_R", "delta_v", "delta_p", "delta_t", "cov", "dR_dbg", "dp_dba"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(p1, f)), np.asarray(getattr(p2, f)), atol=1e-7
+        )
+
+
+def test_stationary_gravity_only():
+    """IMU at rest measures -gravity; preintegration + predict must stay put."""
+    n = 40
+    acc = np.tile(-np.asarray(GRAVITY), (n, 1))  # accelerometer reads +9.81 z
+    gyr = np.zeros((n, 3))
+    dts = np.full(n, 0.005)
+    block = make_block(acc, gyr, dts)
+    pim = imu.preintegrate(PARAMS, block, ImuBias.zero())
+    state = NavState.identity()
+    pred = imu.pim_predict(pim, state, ImuBias.zero(), GRAVITY)
+    np.testing.assert_allclose(np.asarray(pred.pos), np.zeros(3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred.vel), np.zeros(3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred.rot), np.eye(3), atol=1e-6)
+
+
+def test_constant_acceleration_prediction():
+    """Body accelerating at a known world acceleration: check kinematics."""
+    a_world = np.array([1.0, 0.0, 0.0])
+    n, dt = 100, 0.005
+    T = n * dt
+    acc = np.tile(a_world - np.asarray(GRAVITY), (n, 1))
+    block = make_block(acc, np.zeros((n, 3)), np.full(n, dt))
+    pim = imu.preintegrate(PARAMS, block, ImuBias.zero())
+    pred = imu.pim_predict(pim, NavState.identity(), ImuBias.zero(), GRAVITY)
+    np.testing.assert_allclose(np.asarray(pred.vel), a_world * T, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(pred.pos), 0.5 * a_world * T * T, atol=1e-4
+    )
+
+
+def test_constant_rotation():
+    w_body = np.array([0.0, 0.0, 1.0])  # 1 rad/s yaw
+    n, dt = 200, 0.005
+    block = make_block(np.zeros((n, 3)), np.tile(w_body, (n, 1)), np.full(n, dt))
+    pim = imu.preintegrate(PARAMS, block, ImuBias.zero())
+    expected = geo.so3_exp(jnp.asarray(w_body, jnp.float32) * n * dt)
+    np.testing.assert_allclose(
+        np.asarray(pim.delta_R), np.asarray(expected), atol=1e-4
+    )
+
+
+def test_bias_correction_first_order():
+    """First-order bias correction must match re-integration at new bias."""
+    rng = np.random.default_rng(3)
+    n = 30
+    acc = rng.normal(0, 2, (n, 3))
+    gyr = rng.normal(0, 0.5, (n, 3))
+    dts = np.full(n, 0.005)
+    block = make_block(acc, gyr, dts)
+    bias0 = ImuBias.zero()
+    pim = imu.preintegrate(PARAMS, block, bias0)
+    db = 1e-3
+    new_bias = ImuBias(
+        accel=jnp.array([db, -db, db]), gyro=jnp.array([-db, db, db])
+    )
+    dR_c, dv_c, dp_c = imu.pim_with_bias_correction(pim, new_bias)
+    dR_r, dv_r, dp_r = numpy_preintegrate(
+        acc, gyr, dts, bias_a=np.asarray(new_bias.accel), bias_g=np.asarray(new_bias.gyro)
+    )
+    np.testing.assert_allclose(np.asarray(dR_c), dR_r, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv_c), dv_r, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp_c), dp_r, atol=1e-5)
+
+
+def test_residual_zero_at_prediction():
+    rng = np.random.default_rng(4)
+    n = 25
+    acc = rng.normal(0, 2, (n, 3))
+    gyr = rng.normal(0, 0.3, (n, 3))
+    block = make_block(acc, gyr, np.full(n, 0.005))
+    bias = ImuBias.zero()
+    pim = imu.preintegrate(PARAMS, block, bias)
+    xi = jnp.array([0.1, -0.2, 0.3, 1.0, 2.0, -0.5])
+    R0, p0 = geo.se3_exp(xi)
+    state_i = NavState(rot=R0, pos=p0, vel=jnp.array([0.3, -0.1, 0.2]))
+    state_j = imu.pim_predict(pim, state_i, bias, GRAVITY)
+    r = imu.imu_residual(pim, state_i, bias, state_j, GRAVITY)
+    np.testing.assert_allclose(np.asarray(r), np.zeros(9), atol=1e-4)
+
+
+def test_covariance_psd_and_growth():
+    rng = np.random.default_rng(5)
+    n = 50
+    acc = rng.normal(0, 1, (n, 3))
+    gyr = rng.normal(0, 0.2, (n, 3))
+    block = make_block(acc, gyr, np.full(n, 0.005))
+    pim = imu.preintegrate(PARAMS, block, ImuBias.zero())
+    cov = np.asarray(pim.cov, dtype=np.float64)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-10)
+    eig = np.linalg.eigvalsh(cov)
+    assert eig.min() > -1e-12
+    # More samples -> strictly more uncertainty (trace grows).
+    pim_half = imu.preintegrate(
+        PARAMS, make_block(acc[:25], gyr[:25], np.full(25, 0.005)), ImuBias.zero()
+    )
+    assert float(jnp.trace(pim.cov)) > float(jnp.trace(pim_half.cov))
+
+
+def test_incremental_continuation():
+    """Integrating two blocks with `init=` equals one big block — the
+    inter-keyframe accumulation pattern."""
+    rng = np.random.default_rng(6)
+    acc = rng.normal(0, 2, (24, 3))
+    gyr = rng.normal(0, 0.4, (24, 3))
+    dts = np.full(24, 0.005)
+    full = imu.preintegrate(PARAMS, make_block(acc, gyr, dts), ImuBias.zero())
+    p1 = imu.preintegrate(PARAMS, make_block(acc[:12], gyr[:12], dts[:12]), ImuBias.zero())
+    p2 = imu.preintegrate(
+        PARAMS, make_block(acc[12:], gyr[12:], dts[12:]), ImuBias.zero(), init=p1
+    )
+    for f in ["delta_R", "delta_v", "delta_p", "delta_t", "cov"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(full, f)), np.asarray(getattr(p2, f)), atol=1e-5
+        )
+
+
+def test_gyro_only_preintegration():
+    w = np.array([0.2, -0.1, 0.4])
+    n, dt = 100, 0.005
+    block = make_block(np.zeros((n, 3)), np.tile(w, (n, 1)), np.full(n, dt))
+    R = imu.preintegrate_gyro(block, jnp.zeros(3))
+    expected = geo.so3_exp(jnp.asarray(w, jnp.float32) * n * dt)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(expected), atol=1e-4)
