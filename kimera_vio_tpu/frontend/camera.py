@@ -1,0 +1,351 @@
+"""Camera models: projection, distortion, undistortion, stereo rectification.
+
+TPU-native rebuild of the reference camera stack
+(src/frontend/Camera.cpp, StereoCamera.cpp, UndistorterRectifier.cpp):
+
+  * pinhole projection with radial-tangential (radtan) and equidistant
+    (Kannala-Brandt fisheye) distortion models (CameraParams.cpp:62-95),
+  * iterative (Gauss-Newton) undistortion of keypoints — the batched
+    equivalent of cv::undistortPoints,
+  * bearing-vector computation (UndistorterRectifier::GetBearingVector,
+    UndistorterRectifier.cpp:73-113),
+  * stereo rectification computing R_rect_left/right + a shared rectified
+    pinhole (the TPU equivalent of cv::stereoRectify, StereoCamera.cpp:292),
+  * dense undistort-rectify image remap maps (precomputed once, applied as
+    a batched bilinear gather — the equivalent of cv::initUndistortRectifyMap
+    + cv::remap, UndistorterRectifier.cpp:230).
+
+Everything is batched over trailing keypoint dims; camera constants live in
+a small frozen pytree so jitted functions close over them cleanly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from kimera_vio_tpu.common import geometry as geo
+from kimera_vio_tpu.config.params import CameraParams
+
+# Distortion model codes (static ints, selected at trace time).
+DIST_NONE = 0
+DIST_RADTAN = 1
+DIST_EQUIDISTANT = 2
+
+_DIST_CODES = {
+    "none": DIST_NONE,
+    "plumb_bob": DIST_RADTAN,
+    "radial-tangential": DIST_RADTAN,
+    "radtan": DIST_RADTAN,
+    "equidistant": DIST_EQUIDISTANT,
+    "kannala_brandt": DIST_EQUIDISTANT,
+}
+
+
+@struct.dataclass
+class PinholeCamera:
+    """Intrinsics + distortion + body-from-camera extrinsics as a pytree.
+
+    `dist_model` is static (pytree_node=False) so jit specializes per model.
+    """
+
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    dist: jax.Array  # (4,) distortion coefficients
+    R_bc: jax.Array  # (3,3) body-from-camera rotation
+    t_bc: jax.Array  # (3,) body-from-camera translation
+    dist_model: int = struct.field(pytree_node=False, default=DIST_RADTAN)
+    width: int = struct.field(pytree_node=False, default=752)
+    height: int = struct.field(pytree_node=False, default=480)
+
+    @classmethod
+    def from_params(cls, p: CameraParams) -> "PinholeCamera":
+        f = lambda x: jnp.asarray(x, jnp.float32)
+        d = np.zeros(4)
+        d[: min(4, len(p.distortion_coeffs))] = p.distortion_coeffs[:4]
+        return cls(
+            fx=f(p.intrinsics[0]),
+            fy=f(p.intrinsics[1]),
+            cx=f(p.intrinsics[2]),
+            cy=f(p.intrinsics[3]),
+            dist=f(d),
+            R_bc=f(p.T_BS[:3, :3]),
+            t_bc=f(p.T_BS[:3, 3]),
+            dist_model=_DIST_CODES[p.distortion_model],
+            width=p.width,
+            height=p.height,
+        )
+
+    # -- intrinsics as a K matrix --------------------------------------
+    def K(self) -> jax.Array:
+        z = jnp.zeros_like(self.fx)
+        o = jnp.ones_like(self.fx)
+        return jnp.stack(
+            [
+                jnp.stack([self.fx, z, self.cx], -1),
+                jnp.stack([z, self.fy, self.cy], -1),
+                jnp.stack([z, z, o], -1),
+            ],
+            axis=-2,
+        )
+
+
+def distort(cam: PinholeCamera, xy: jax.Array) -> jax.Array:
+    """Apply the distortion model to normalized coords xy (...,2)."""
+    if cam.dist_model == DIST_NONE:
+        return xy
+    x, y = xy[..., 0], xy[..., 1]
+    k1, k2, p1, p2 = cam.dist[0], cam.dist[1], cam.dist[2], cam.dist[3]
+    if cam.dist_model == DIST_RADTAN:
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        return jnp.stack([xd, yd], axis=-1)
+    # Equidistant (Kannala-Brandt): coeffs are k1..k4 on theta.
+    r = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan(r)
+    t2 = theta * theta
+    theta_d = theta * (1 + k1 * t2 + k2 * t2**2 + p1 * t2**3 + p2 * t2**4)
+    scale = jnp.where(r > 1e-8, theta_d / jnp.maximum(r, 1e-8), 1.0)
+    return xy * scale[..., None]
+
+
+def project(cam: PinholeCamera, p_cam: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Project camera-frame points (...,3) to distorted pixels (...,2).
+
+    Returns (uv, valid) where valid = in front of camera and inside image
+    (reference Camera::project + visibility checks, Camera.cpp:50-141)."""
+    z = p_cam[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    xy = p_cam[..., 0:2] / safe_z[..., None]
+    xyd = distort(cam, xy)
+    u = cam.fx * xyd[..., 0] + cam.cx
+    v = cam.fy * xyd[..., 1] + cam.cy
+    uv = jnp.stack([u, v], axis=-1)
+    valid = (
+        (z > 1e-6)
+        & (u >= 0)
+        & (u < cam.width)
+        & (v >= 0)
+        & (v < cam.height)
+    )
+    return uv, valid
+
+
+def undistort_to_normalized(
+    cam: PinholeCamera, uv: jax.Array, iters: int = 25
+) -> jax.Array:
+    """Invert the distortion: pixels (...,2) -> undistorted normalized
+    coords. Fixed-iteration Newton/fixed-point, the batched equivalent of
+    cv::undistortPoints (used by UndistorterRectifier.cpp:213-230)."""
+    xd = (uv[..., 0] - cam.cx) / cam.fx
+    yd = (uv[..., 1] - cam.cy) / cam.fy
+    target = jnp.stack([xd, yd], axis=-1)
+    if cam.dist_model == DIST_NONE:
+        return target
+
+    def body(_, xy):
+        # Fixed point: xy <- xy - (distort(xy) - target)
+        return xy - (distort(cam, xy) - target)
+
+    return jax.lax.fori_loop(0, iters, body, target)
+
+
+def backproject(cam: PinholeCamera, uv: jax.Array, depth: jax.Array) -> jax.Array:
+    """Pixels + depth(z) -> camera-frame 3D points (reference
+    Camera::backProject)."""
+    xy = undistort_to_normalized(cam, uv)
+    ones = jnp.ones_like(xy[..., :1])
+    return jnp.concatenate([xy, ones], axis=-1) * depth[..., None]
+
+
+def bearing_vectors(cam: PinholeCamera, uv: jax.Array) -> jax.Array:
+    """Unit bearing vectors in the camera frame for distorted pixels
+    (reference UndistorterRectifier::GetBearingVector,
+    UndistorterRectifier.cpp:73-113)."""
+    xy = undistort_to_normalized(cam, uv)
+    ones = jnp.ones_like(xy[..., :1])
+    v = jnp.concatenate([xy, ones], axis=-1)
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Stereo rectification
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class StereoCamera:
+    """A rectified stereo rig.
+
+    After rectification both cameras share pinhole intrinsics
+    (fx, fy, cx, cy) with zero distortion; the right camera sits at
+    baseline b along rectified x. `R_rect_l` maps *left-camera* coords to
+    *rectified-left* coords (and likewise right). Mirrors the data the
+    reference derives via cv::stereoRectify (StereoCamera.cpp:34-94).
+    """
+
+    left: PinholeCamera
+    right: PinholeCamera
+    # Rectified shared intrinsics
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    baseline: jax.Array  # meters
+    R_rect_l: jax.Array  # (3,3) rect-from-leftcam
+    R_rect_r: jax.Array  # (3,3) rect-from-rightcam
+    # Body-from-rectified-left-camera pose (the backend's camera frame).
+    R_b_rect: jax.Array
+    t_b_rect: jax.Array
+
+    @classmethod
+    def from_params(cls, left_p: CameraParams, right_p: CameraParams) -> "StereoCamera":
+        left = PinholeCamera.from_params(left_p)
+        right = PinholeCamera.from_params(right_p)
+        # Relative pose right-from-left in camera frames (numpy, host-side).
+        T_b_l = np.asarray(left_p.T_BS, np.float64)
+        T_b_r = np.asarray(right_p.T_BS, np.float64)
+        T_r_l = np.linalg.inv(T_b_r) @ T_b_l  # left-cam coords -> right-cam
+        R = T_r_l[:3, :3]
+        t = T_r_l[:3, 3]  # position of left origin in right frame
+
+        # --- Bouguet-style rectification (what cv::stereoRectify does) ---
+        # Split the relative rotation: left rotates forward by half, right
+        # rotates back by half, so both share one orientation.
+        from scipy.spatial.transform import Rotation
+
+        om = Rotation.from_matrix(R).as_rotvec()
+        r_fwd = Rotation.from_rotvec(0.5 * om).as_matrix()  # exp(+om/2)
+        r_back = r_fwd.T  # exp(-om/2)
+        # Baseline in the shared (half-rotated) orientation.
+        t_rect = r_back @ t
+        b = np.linalg.norm(t_rect)
+        # Minimal rotation wR aligning t_rect with the (signed) x axis.
+        uu = np.array([1.0 if t_rect[0] > 0 else -1.0, 0.0, 0.0])
+        ww = np.cross(t_rect, uu)
+        nw = np.linalg.norm(ww)
+        angle = np.arccos(np.clip(abs(t_rect[0]) / b, -1.0, 1.0))
+        if nw > 1e-12:
+            wR = Rotation.from_rotvec(ww / nw * angle).as_matrix()
+        else:
+            wR = np.eye(3)
+        R_rect_l = wR @ r_fwd
+        R_rect_r = wR @ r_back
+
+        # Shared rectified intrinsics: follow OpenCV default alpha=-1-ish
+        # choice: fy' = fx' = fy of left, principal point centered.
+        f_new = float(left_p.intrinsics[1])
+        cx_new = left_p.width / 2.0
+        cy_new = left_p.height / 2.0
+
+        # Body-from-rectified-left: T_b_l composed with rect rotation.
+        R_b_rect = T_b_l[:3, :3] @ R_rect_l.T
+        t_b_rect = T_b_l[:3, 3]
+
+        f = lambda x: jnp.asarray(x, jnp.float32)
+        return cls(
+            left=left,
+            right=right,
+            fx=f(f_new),
+            fy=f(f_new),
+            cx=f(cx_new),
+            cy=f(cy_new),
+            baseline=f(b),
+            R_rect_l=f(R_rect_l),
+            R_rect_r=f(R_rect_r),
+            R_b_rect=f(R_b_rect),
+            t_b_rect=f(t_b_rect),
+        )
+
+    def project_rect(self, p_rect: jax.Array):
+        """Rectified-left-frame points (...,3) -> (uL, uR, v) stereo pixels.
+        Mirrors gtsam::StereoCamera::project used by the backend's smart
+        stereo factors."""
+        z = p_rect[..., 2]
+        safe_z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+        uL = self.fx * p_rect[..., 0] / safe_z + self.cx
+        uR = self.fx * (p_rect[..., 0] - self.baseline) / safe_z + self.cx
+        v = self.fy * p_rect[..., 1] / safe_z + self.cy
+        return jnp.stack([uL, uR, v], axis=-1), z > 1e-6
+
+    def backproject_rect(self, uLuRv: jax.Array) -> jax.Array:
+        """Stereo measurement -> rectified-left 3D point (disparity depth)."""
+        uL, uR, v = uLuRv[..., 0], uLuRv[..., 1], uLuRv[..., 2]
+        disp = jnp.maximum(uL - uR, 1e-6)
+        z = self.fx * self.baseline / disp
+        x = (uL - self.cx) * z / self.fx
+        y = (v - self.cy) * z / self.fy
+        return jnp.stack([x, y, z], axis=-1)
+
+
+def rectify_keypoints(stereo: StereoCamera, cam: PinholeCamera, R_rect: jax.Array, uv: jax.Array) -> jax.Array:
+    """Distorted pixels in `cam` -> rectified pixel coords (shared
+    intrinsics). Reference StereoCamera::rectifyLeftKeypoints / the
+    keypoint path of UndistorterRectifier (StereoCamera.cpp:236)."""
+    xy = undistort_to_normalized(cam, uv)
+    ones = jnp.ones_like(xy[..., :1])
+    rays = jnp.concatenate([xy, ones], axis=-1)
+    rays_rect = (R_rect @ rays[..., None])[..., 0]
+    z = jnp.maximum(rays_rect[..., 2], 1e-8)
+    u = stereo.fx * rays_rect[..., 0] / z + stereo.cx
+    v = stereo.fy * rays_rect[..., 1] / z + stereo.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def unrectify_keypoints(stereo: StereoCamera, cam: PinholeCamera, R_rect: jax.Array, uv_rect: jax.Array) -> jax.Array:
+    """Rectified pixels -> distorted pixels in the original camera
+    (reference UndistorterRectifier::distortUnrectifyKeypoints,
+    UndistorterRectifier.cpp:213)."""
+    x = (uv_rect[..., 0] - stereo.cx) / stereo.fx
+    y = (uv_rect[..., 1] - stereo.cy) / stereo.fy
+    rays_rect = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    rays = (R_rect.T @ rays_rect[..., None])[..., 0]
+    z = jnp.maximum(rays[..., 2], 1e-8)
+    xy = rays[..., 0:2] / z[..., None]
+    xyd = distort(cam, xy)
+    u = cam.fx * xyd[..., 0] + cam.cx
+    v = cam.fy * xyd[..., 1] + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def rectification_map(stereo: StereoCamera, cam: PinholeCamera, R_rect: jax.Array) -> jax.Array:
+    """Dense inverse map for image rectification: for every *rectified*
+    pixel, the (x, y) source location in the distorted image. Shape
+    (H, W, 2), float32. Precomputed once per rig (the equivalent of
+    cv::initUndistortRectifyMap, UndistorterRectifier.cpp:230); applied
+    with `remap_bilinear`."""
+    H, W = cam.height, cam.width
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    vv, uu = jnp.meshgrid(ys, xs, indexing="ij")
+    uv_rect = jnp.stack([uu, vv], axis=-1)  # (H, W, 2)
+    return unrectify_keypoints(stereo, cam, R_rect, uv_rect)
+
+
+def remap_bilinear(img: jax.Array, mapxy: jax.Array) -> jax.Array:
+    """Bilinear remap of img (H,W) by map (H,W,2) of source coords.
+    Out-of-bounds reads clamp to the border (cv::BORDER_REPLICATE-like)."""
+    H, W = img.shape[-2], img.shape[-1]
+    x = mapxy[..., 0]
+    y = mapxy[..., 1]
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2)
+    wx = jnp.clip(x - x0, 0.0, 1.0)
+    wy = jnp.clip(y - y0, 0.0, 1.0)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    img_f = img.astype(jnp.float32)
+    g = lambda yy, xx: img_f[yy, xx]
+    v00 = g(y0i, x0i)
+    v01 = g(y0i, x0i + 1)
+    v10 = g(y0i + 1, x0i)
+    v11 = g(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
