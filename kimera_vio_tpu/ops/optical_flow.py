@@ -1,0 +1,260 @@
+"""Pyramidal Lucas-Kanade feature tracking, batched over keypoints.
+
+TPU-native rebuild of the reference tracking hot loop —
+cv::calcOpticalFlowPyrLK with OPTFLOW_USE_INITIAL_FLOW as called from
+Tracker::featureTracking (reference src/frontend/Tracker.cpp:137-146) — and
+of the rotational optical-flow predictor
+(src/frontend/OpticalFlowPredictor.cpp:70-126).
+
+Key design decision (the "one gather per iteration" trick): sampling a
+(W x W) patch at a fractional position is done as ONE integer-aligned
+dynamic slice of (W+1 x W+1), followed by a 4-tap bilinear blend with
+*scalar* weights — the fractional offset is shared by every pixel of the
+patch. This turns the classic per-pixel bilinear gather (576 gathers/patch)
+into 1 gather + VPU math, which is the shape TPUs want. `vmap` over
+keypoints batches the gathers.
+
+Per pyramid level the spatial-gradient matrix G is computed once from the
+previous image (matching OpenCV), then a `lax.while_loop` iterates the flow
+update until every keypoint moved < eps or max_iter is hit — convergence is
+evaluated for the whole batch, preserving static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kimera_vio_tpu.ops.corner_detection import _conv2d
+
+# 5-tap binomial kernel used by cv::pyrDown.
+_PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+
+
+def pyr_down(img: jax.Array) -> jax.Array:
+    """Gaussian blur + 2x decimation (cv::pyrDown equivalent)."""
+    k = _PYR_K
+    blurred = _conv2d(_conv2d(img, k[:, None]), k[None, :])
+    return blurred[::2, ::2]
+
+
+def build_pyramid(img: jax.Array, max_level: int) -> list[jax.Array]:
+    """List of images, level 0 = full res ... max_level = coarsest."""
+    levels = [img.astype(jnp.float32)]
+    for _ in range(max_level):
+        levels.append(pyr_down(levels[-1]))
+    return levels
+
+
+# 3-tap Scharr, as used by cv::calcOpticalFlowPyrLK's gradient pass.
+_DERIV_X = np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], np.float32) / 32.0
+_DERIV_Y = _DERIV_X.T
+
+
+def _grad(img):
+    return _conv2d(img, _DERIV_X), _conv2d(img, _DERIV_Y)
+
+
+def _sample_patch(img: jax.Array, center: jax.Array, win: int) -> jax.Array:
+    """Bilinear (win x win) patch around fractional `center` (x, y).
+
+    One aligned (win+1, win+1) dynamic slice + scalar-weight 4-tap blend.
+    dynamic_slice clamps at borders (callers gate with bounds checks)."""
+    H, W = img.shape
+    half = (win - 1) * 0.5
+    x0f = center[0] - half
+    y0f = center[1] - half
+    x0 = jnp.floor(x0f)
+    y0 = jnp.floor(y0f)
+    fx = x0f - x0
+    fy = y0f - y0
+    xi = jnp.clip(x0.astype(jnp.int32), 0, W - win - 1)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, H - win - 1)
+    raw = jax.lax.dynamic_slice(img, (yi, xi), (win + 1, win + 1))
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    return (
+        w00 * raw[:-1, :-1]
+        + w01 * raw[:-1, 1:]
+        + w10 * raw[1:, :-1]
+        + w11 * raw[1:, 1:]
+    )
+
+
+def _track_level(
+    prev_img,
+    prev_Ix,
+    prev_Iy,
+    cur_img,
+    prev_pts,  # (N,2) positions at this level
+    cur_pts,  # (N,2) current flow guess at this level
+    valid,  # (N,)
+    win: int,
+    max_iter: int,
+    eps: float,
+    min_eig_thresh: float,
+    is_level0: bool,
+):
+    """One pyramid level of LK for all keypoints. Returns (cur_pts, ok)."""
+    H, W = prev_img.shape
+    # Edge-replicate padding so windows may straddle the image border, as
+    # cv::buildOpticalFlowPyramid does with its winSize border.
+    pad = win // 2 + 2
+    off = jnp.array([pad, pad], prev_img.dtype)
+    pp = lambda im: jnp.pad(im, pad, mode="edge")
+    prev_p, cur_p, Ix_p, Iy_p = pp(prev_img), pp(cur_img), pp(prev_Ix), pp(prev_Iy)
+
+    sample = jax.vmap(lambda c: _sample_patch(cur_p, c + off, win))
+    sample_prev = jax.vmap(lambda c: _sample_patch(prev_p, c + off, win))
+    sample_gx = jax.vmap(lambda c: _sample_patch(Ix_p, c + off, win))
+    sample_gy = jax.vmap(lambda c: _sample_patch(Iy_p, c + off, win))
+
+    tmpl = sample_prev(prev_pts)  # (N, win, win)
+    gx = sample_gx(prev_pts)
+    gy = sample_gy(prev_pts)
+
+    # Spatial gradient matrix per keypoint (constant over iterations).
+    gxx = jnp.sum(gx * gx, axis=(-2, -1))
+    gxy = jnp.sum(gx * gy, axis=(-2, -1))
+    gyy = jnp.sum(gy * gy, axis=(-2, -1))
+    det = gxx * gyy - gxy * gxy
+    # Minimum eigenvalue per unit area — OpenCV's track-quality gate.
+    half_tr = 0.5 * (gxx + gyy)
+    min_eig = (half_tr - jnp.sqrt(jnp.maximum(half_tr**2 - det, 0.0))) / (
+        win * win
+    )
+    good_g = (min_eig > min_eig_thresh) & valid
+    safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    inv00 = gyy / safe_det
+    inv01 = -gxy / safe_det
+    inv11 = gxx / safe_det
+
+    def cond(state):
+        it, pts, moving = state
+        return (it < max_iter) & moving.any()
+
+    def body(state):
+        it, pts, moving = state
+        cur = sample(pts)
+        dI = cur - tmpl
+        bx = jnp.sum(dI * gx, axis=(-2, -1))
+        by = jnp.sum(dI * gy, axis=(-2, -1))
+        dx = -(inv00 * bx + inv01 * by)
+        dy = -(inv01 * bx + inv11 * by)
+        step = jnp.stack([dx, dy], axis=-1)
+        step = jnp.where((good_g & moving)[:, None], step, 0.0)
+        new_pts = pts + step
+        still = jnp.sum(step * step, axis=-1) >= eps * eps
+        return it + 1, new_pts, moving & still
+
+    _, pts, _ = jax.lax.while_loop(
+        cond, body, (0, cur_pts, jnp.ones(cur_pts.shape[0], bool))
+    )
+    # Failure gates apply only at full resolution (OpenCV semantics): coarse
+    # levels legitimately clamp windows at borders and have tiny images.
+    if not is_level0:
+        return pts, valid
+    half = win * 0.5
+    inb = (
+        (pts[:, 0] >= half)
+        & (pts[:, 0] < W - half)
+        & (pts[:, 1] >= half)
+        & (pts[:, 1] < H - half)
+    )
+    return pts, good_g & inb
+
+
+def klt_track(
+    prev_pyr: list[jax.Array],
+    cur_pyr: list[jax.Array],
+    prev_pts: jax.Array,  # (N,2) level-0 pixel coords
+    init_pts: jax.Array,  # (N,2) initial flow guess (level 0)
+    valid: jax.Array,  # (N,)
+    *,
+    win: int = 24,
+    max_iter: int = 30,
+    eps: float = 0.1,
+    min_eig_thresh: float = 1e-4,
+    prev_grads: list[tuple[jax.Array, jax.Array]] | None = None,
+):
+    """Pyramidal LK: track `prev_pts` from prev to cur images.
+
+    `init_pts` seeds the level-0 search (OPTFLOW_USE_INITIAL_FLOW — the
+    reference seeds with the rotation-predicted positions,
+    Tracker.cpp:137-146). Returns (tracked_pts (N,2), ok (N,)).
+
+    `prev_grads` optionally reuses the previous frame's per-level Scharr
+    gradients (they only depend on prev_pyr, so the frontend caches them).
+    """
+    n_levels = len(prev_pyr)
+    scale_top = 2.0 ** (n_levels - 1)
+    pts = init_pts / scale_top
+    base = prev_pts / scale_top
+    ok = valid
+    if prev_grads is None:
+        prev_grads = [_grad(p) for p in prev_pyr]
+    for lvl in range(n_levels - 1, -1, -1):
+        if lvl != n_levels - 1:
+            pts = pts * 2.0
+            base = base * 2.0
+        # Skip levels whose image cannot hold one window (OpenCV caps
+        # maxLevel from winSize the same way).
+        if min(prev_pyr[lvl].shape) < win + 2:
+            continue
+        Ix, Iy = prev_grads[lvl]
+        pts, ok_lvl = _track_level(
+            prev_pyr[lvl],
+            Ix,
+            Iy,
+            cur_pyr[lvl],
+            base,
+            pts,
+            valid,
+            win,
+            max_iter,
+            eps,
+            min_eig_thresh,
+            lvl == 0,
+        )
+        ok = ok & ok_lvl
+    return pts, ok
+
+
+def predict_flow_rotational(
+    uv: jax.Array,
+    valid: jax.Array,
+    R_cur_prev: jax.Array,
+    K: jax.Array,
+    K_inv: jax.Array,
+    width: int,
+    height: int,
+) -> jax.Array:
+    """Rotation-only optical-flow prediction: warp keypoints by the
+    infinite-depth homography H = K R K^-1 (reference
+    RotationalOpticalFlowPredictor, OpticalFlowPredictor.cpp:70-126).
+
+    `R_cur_prev` rotates prev-camera coords into cur-camera coords.
+    Out-of-image predictions fall back to the original position, as in the
+    reference (clamp-to-source behavior)."""
+    ones = jnp.ones_like(uv[..., :1])
+    h = jnp.concatenate([uv, ones], axis=-1)
+    rays = (K_inv @ h[..., None])[..., 0]
+    rays = (R_cur_prev @ rays[..., None])[..., 0]
+    proj = (K @ rays[..., None])[..., 0]
+    z = proj[..., 2:3]
+    good_z = z[..., 0] > 1e-6
+    warped = proj[..., 0:2] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    inb = (
+        (warped[..., 0] >= 0)
+        & (warped[..., 0] < width)
+        & (warped[..., 1] >= 0)
+        & (warped[..., 1] < height)
+        & good_z
+        & valid
+    )
+    return jnp.where(inb[..., None], warped, uv)
