@@ -1,0 +1,163 @@
+"""Sparse epipolar stereo matching as a batched template-match op.
+
+TPU-native rebuild of StereoMatcher::searchRightKeypointEpipolar
+(reference src/frontend/StereoMatcher.cpp:283-423): for every left keypoint,
+an 11x101 template around the (rounded) rectified position is slid along a
+disparity-bounded stripe of the same rows in the rectified right image;
+the SSD minimum gives the right keypoint; disparity->depth gating with
+min/max point distance follows (StereoMatcher.cpp:425-483).
+
+Batched formulation: the per-keypoint stripes are gathered with one aligned
+dynamic slice each (vmap), then ALL keypoints' sliding SSDs are computed in
+a single grouped convolution (keypoints = channel groups):
+
+    SSD(d) = sum(T^2) - 2 * corr(T, S)(d) + boxsum(S^2)(d)
+
+which XLA lowers onto the MXU. Subpixel disparity comes from a parabola fit
+over the SSD minimum's neighbors (the reference optionally re-runs
+cornerSubPix; parabola on the matching cost is the standard equivalent).
+
+The match-quality gate uses the normalized SSD score (SQDIFF_NORMED-style);
+note the reference min-max-normalizes the score map and thresholds its
+minimum, which is identically zero, so its `toleranceTemplateMatching` gate
+never rejects — the effective contract is "best SSD along the stripe +
+depth-range gating", which is reproduced here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def match_stereo(
+    left_rect: jax.Array,  # (H, W) rectified left image
+    right_rect: jax.Array,  # (H, W) rectified right image
+    uv_rect: jax.Array,  # (N, 2) left keypoints (rectified coords)
+    valid: jax.Array,  # (N,)
+    *,
+    fx: jax.Array,
+    baseline: jax.Array,
+    templ_cols: int = 101,
+    templ_rows: int = 11,
+    stripe_extra_rows: int = 0,
+    max_disparity: int = 128,  # static: >= fx*b/min_depth + slack
+    min_point_dist: float = 0.5,
+    max_point_dist: float = 10.0,
+    tolerance: float = 0.15,
+):
+    """Returns (uv_right (N,2), depth (N,), ok (N,)).
+
+    `max_disparity` must be a static bound covering fx*b/min_point_dist;
+    the dynamic depth gates still apply exactly.
+    """
+    H, W = left_rect.shape
+    N = uv_rect.shape[0]
+    left = left_rect.astype(jnp.float32)
+    right = right_rect.astype(jnp.float32)
+    tc, tr = templ_cols, templ_rows
+    sr = tr + stripe_extra_rows
+    n_disp = max_disparity + 1
+    stripe_cols = tc + max_disparity
+
+    # Integer anchor (reference rounds the left keypoint).
+    xi = jnp.round(uv_rect[:, 0]).astype(jnp.int32)
+    yi = jnp.round(uv_rect[:, 1]).astype(jnp.int32)
+
+    # Template top-left in left image; clamp like the reference offsets.
+    tx0 = jnp.clip(xi - (tc - 1) // 2, 0, W - tc)
+    ty0 = jnp.clip(yi - (tr - 1) // 2, 0, H - tr)
+    # Stripe: covers right-image columns [x_templ_right_edge - stripe_cols,
+    # ...]; i.e. disparities 0..max_disparity for this template placement.
+    sx0 = jnp.clip(tx0 - max_disparity, 0, W - stripe_cols)
+    sy0 = jnp.clip(yi - (sr - 1) // 2, 0, H - sr)
+
+    def slice_templ(x0, y0):
+        return jax.lax.dynamic_slice(left, (y0, x0), (tr, tc))
+
+    def slice_stripe(x0, y0):
+        return jax.lax.dynamic_slice(right, (y0, x0), (sr, stripe_cols))
+
+    T = jax.vmap(slice_templ)(tx0, ty0)  # (N, tr, tc)
+    S = jax.vmap(slice_stripe)(sx0, sy0)  # (N, sr, stripe_cols)
+
+    # Grouped correlation: keypoints as channel groups, one conv for all.
+    # input (1, N, sr, stripe_cols), kernel (N, 1, tr, tc) -> (1, N, sv, n_disp)
+    def gconv(x, k):
+        return jax.lax.conv_general_dilated(
+            x[None],
+            k[:, None],
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=N,
+        )[0]
+
+    corr = gconv(S, T)  # (N, sv, n_disp) with sv = sr - tr + 1
+    ones = jnp.ones_like(T)
+    s2 = gconv(S * S, ones)
+    t2 = jnp.sum(T * T, axis=(-2, -1))[:, None, None]
+    ssd = t2 - 2.0 * corr + s2  # (N, sv, n_disp)
+    # Collapse the (tiny) vertical search dim: best row offset per disparity.
+    ssd = jnp.min(ssd, axis=1)  # (N, n_disp)
+
+    # Invalidate stripe positions that fell outside the true image (the
+    # clamped slice re-reads in-image data at wrong disparities). Compute
+    # the disparity each stripe column actually represents.
+    # Column d of ssd corresponds to template x-position sx0 + d in right
+    # image; disparity = tx0 - (sx0 + d).
+    d_idx = jnp.arange(n_disp)[None, :]
+    disparity_at = (tx0[:, None] - (sx0[:, None] + d_idx)).astype(jnp.float32)
+    feasible = disparity_at >= 0.0
+    big = jnp.float32(3.4e38)
+    ssd = jnp.where(feasible, ssd, big)
+
+    best = jnp.argmin(ssd, axis=1)  # (N,)
+    take = lambda arr, idx: jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+    best_ssd = take(ssd, best)
+    # Parabola subpixel on the cost around the minimum.
+    bm1 = jnp.clip(best - 1, 0, n_disp - 1)
+    bp1 = jnp.clip(best + 1, 0, n_disp - 1)
+    c0 = take(ssd, bm1)
+    c1 = best_ssd
+    c2 = take(ssd, bp1)
+    denom = c0 - 2 * c1 + c2
+    delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+
+    disp_int = take(disparity_at, best)
+    disparity = disp_int - delta  # subpixel: larger d index = smaller disp
+    # Right keypoint: uR = (template center x) - disparity, with the true
+    # (unrounded) left coordinate re-applied so disparity stays consistent.
+    uR = uv_rect[:, 0] - disparity
+    vR = uv_rect[:, 1]
+
+    # Normalized match quality (SQDIFF_NORMED).
+    s2_best = take(jnp.min(s2, axis=1), best)
+    norm = jnp.sqrt(jnp.maximum(t2[:, 0, 0] * s2_best, 1e-12))
+    score = best_ssd / norm
+
+    # Texture gate: a (near-)constant template matches everywhere, so its
+    # "best" disparity is arbitrary. The reference never hits this case
+    # (only corner keypoints reach the matcher); we reject it explicitly.
+    t_mean = jnp.mean(T, axis=(-2, -1), keepdims=True)
+    t_var = jnp.mean((T - t_mean) ** 2, axis=(-2, -1))
+    textured = t_var > 1.0  # intensity units^2 on 0..255 images
+
+    # Depth from disparity + gates (StereoMatcher::getDepthFromRectifiedMatches).
+    safe_disp = jnp.maximum(disparity, 1e-3)
+    depth = fx * baseline / safe_disp
+    ok = (
+        valid
+        & (disparity > 0.5)
+        & (depth >= min_point_dist)
+        & (depth <= max_point_dist)
+        & (score < tolerance)
+        & textured
+        & (yi >= (tr - 1) // 2)
+        & (yi < H - (tr - 1) // 2)
+        & jnp.isfinite(score)
+    )
+    uv_right = jnp.stack([uR, vR], axis=-1)
+    return uv_right, depth, ok
