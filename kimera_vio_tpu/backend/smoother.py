@@ -1,0 +1,756 @@
+"""Fixed-lag smart-factor smoother — the TPU-native VIO backend.
+
+Replaces the reference's GTSAM `IncrementalFixedLagSmoother` (iSAM2) backend
+(src/backend/VioBackend.cpp:296-428, 1036-1250) with a batched Gauss-Newton
+re-solve of the sliding-window normal equations each keyframe
+(SURVEY.md §2.6 "TPU mapping"):
+
+  * window of `K = nr_states` keyframe states (25 in params/Euroc/
+    BackendParams.yaml:70), each 15 DoF: [dtheta, dp, dv, dba, dbg],
+  * landmarks as *smart stereo factors*: triangulated in closed form from
+    all masked observations (ops/triangulation.py, with the reference's
+    rankTolerance / landmarkDistanceThreshold / outlierRejection /
+    cheirality gates), then Schur-eliminated analytically so only poses
+    enter the solve — one einsum over the landmark axis,
+  * IMU preintegration factors (9-dim Forster residual, whitened by the
+    PIM covariance) + bias random-walk between factors
+    (VioBackend.cpp:910-968),
+  * zero-velocity prior + no-motion between factor on LOW_DISPARITY
+    keyframes (VioBackend.cpp:363-399),
+  * marginalization = Schur complement of the oldest state onto the window
+    prior, built from the prior + the factors incident to the oldest state;
+    landmark observations leaving the horizon are dropped, as the reference
+    drops out-of-horizon smart factors (VioBackend.cpp:1095-1104),
+  * robust (Huber) weighting of smart-factor rows (monoNormType config).
+
+Everything below is shape-static: partial windows are handled with masks,
+and `backend_step` is a single jittable function
+(state, keyframe-inputs) -> (state, outputs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from kimera_vio_tpu.common import geometry as geo
+from kimera_vio_tpu.common.types import ImuBias, NavState
+from kimera_vio_tpu.frontend.imu_frontend import Pim, imu_residual
+from kimera_vio_tpu.ops.triangulation import triangulate_stereo_landmarks
+
+# Per-state tangent layout.
+S_DOF = 15
+_TH = slice(0, 3)  # rotation
+_P = slice(3, 6)  # position
+_V = slice(6, 9)  # velocity
+_BA = slice(9, 12)  # accel bias
+_BG = slice(12, 15)  # gyro bias
+
+# Tracking-status codes (mirrors reference TrackingStatus for the backend's
+# purposes: VALID / LOW_DISPARITY drive the no-motion factors).
+STATUS_VALID = 0
+STATUS_LOW_DISPARITY = 1
+STATUS_INVALID = 2
+
+
+@struct.dataclass
+class BackendConfig:
+    """Static solver configuration (host ints/floats; not traced)."""
+
+    nr_states: int = struct.field(pytree_node=False, default=25)
+    max_landmarks: int = struct.field(pytree_node=False, default=512)
+    gn_iters: int = struct.field(pytree_node=False, default=2)
+    min_obs_for_triangulation: int = struct.field(pytree_node=False, default=2)
+    # Device-side noise/gate parameters.
+    smart_noise_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(3.0))
+    huber_k: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.345))
+    rank_tolerance: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0))
+    landmark_distance_threshold: jax.Array = struct.field(default_factory=lambda: jnp.float32(10.0))
+    outlier_rejection_px: jax.Array = struct.field(default_factory=lambda: jnp.float32(3.0))
+    acc_random_walk: jax.Array = struct.field(default_factory=lambda: jnp.float32(3e-2))
+    gyro_random_walk: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.9393e-5))
+    zero_velocity_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0 / np.sqrt(1000.0)))
+    no_motion_pos_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0 / np.sqrt(1000.0)))
+    no_motion_rot_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0 / np.sqrt(10000.0)))
+    init_pos_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1e-5))
+    init_rp_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.174533))
+    init_yaw_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.00174533))
+    init_vel_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1e-3))
+    init_ba_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.1))
+    init_bg_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.01))
+    n_gravity: jax.Array = struct.field(
+        default_factory=lambda: jnp.array([0.0, 0.0, -9.81], jnp.float32)
+    )
+    # Rectified stereo intrinsics (set from StereoCamera).
+    fx: jax.Array = struct.field(default_factory=lambda: jnp.float32(450.0))
+    fy: jax.Array = struct.field(default_factory=lambda: jnp.float32(450.0))
+    cx: jax.Array = struct.field(default_factory=lambda: jnp.float32(376.0))
+    cy: jax.Array = struct.field(default_factory=lambda: jnp.float32(240.0))
+    baseline: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.11))
+    # Body-from-rectified-camera extrinsics.
+    R_b_cam: jax.Array = struct.field(default_factory=lambda: jnp.eye(3, dtype=jnp.float32))
+    t_b_cam: jax.Array = struct.field(default_factory=lambda: jnp.zeros(3, jnp.float32))
+
+    @classmethod
+    def from_params(cls, backend_params, imu_params, stereo_cam, *, max_landmarks=512, gn_iters=2):
+        f = jnp.float32
+        return cls(
+            nr_states=backend_params.nr_states,
+            max_landmarks=max_landmarks,
+            gn_iters=gn_iters,
+            smart_noise_sigma=f(backend_params.smart_noise_sigma),
+            rank_tolerance=f(backend_params.rank_tolerance),
+            landmark_distance_threshold=f(backend_params.landmark_distance_threshold),
+            outlier_rejection_px=f(backend_params.outlier_rejection),
+            acc_random_walk=f(imu_params.acc_random_walk),
+            gyro_random_walk=f(imu_params.gyro_random_walk),
+            zero_velocity_sigma=f(1.0 / np.sqrt(backend_params.zero_velocity_precision)),
+            no_motion_pos_sigma=f(1.0 / np.sqrt(backend_params.no_motion_position_precision)),
+            no_motion_rot_sigma=f(1.0 / np.sqrt(backend_params.no_motion_rotation_precision)),
+            init_pos_sigma=f(backend_params.initial_position_sigma),
+            init_rp_sigma=f(backend_params.initial_roll_pitch_sigma),
+            init_yaw_sigma=f(backend_params.initial_yaw_sigma),
+            init_vel_sigma=f(backend_params.initial_velocity_sigma),
+            init_ba_sigma=f(backend_params.initial_acc_bias_sigma),
+            init_bg_sigma=f(backend_params.initial_gyro_bias_sigma),
+            n_gravity=jnp.asarray(imu_params.n_gravity, jnp.float32),
+            fx=stereo_cam.fx,
+            fy=stereo_cam.fy,
+            cx=stereo_cam.cx,
+            cy=stereo_cam.cy,
+            baseline=stereo_cam.baseline,
+            R_b_cam=stereo_cam.R_b_rect,
+            t_b_cam=stereo_cam.t_b_rect,
+        )
+
+
+@struct.dataclass
+class Window:
+    """The sliding window of keyframe states + factor data + marginal prior."""
+
+    rot: jax.Array  # (K,3,3)
+    pos: jax.Array  # (K,3)
+    vel: jax.Array  # (K,3)
+    bias: jax.Array  # (K,6) [ba, bg]
+    stamp: jax.Array  # (K,) float32 seconds (relative)
+    mask: jax.Array  # (K,) state slot occupied
+    n: jax.Array  # scalar int32 — number of active states
+    pim: Pim  # stacked (K, ...); pim[i] connects state i-1 -> i
+    pim_valid: jax.Array  # (K,)
+    status: jax.Array  # (K,) tracking status at each keyframe
+    prior_H: jax.Array  # (D,D) marginal prior information
+    prior_g: jax.Array  # (D,) gradient of prior at its lin point
+    prior_rot: jax.Array  # (K,3,3) prior linearization point
+    prior_pos: jax.Array
+    prior_vel: jax.Array
+    prior_bias: jax.Array
+
+    @classmethod
+    def empty(cls, K: int, dtype=jnp.float32) -> "Window":
+        D = K * S_DOF
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (K, 3, 3))
+        z3 = jnp.zeros((K, 3), dtype)
+
+        def stack_pim():
+            p = Pim.zero()
+            return jax.tree.map(lambda x: jnp.broadcast_to(x, (K,) + x.shape), p)
+
+        return cls(
+            rot=eye,
+            pos=z3,
+            vel=z3,
+            bias=jnp.zeros((K, 6), dtype),
+            stamp=jnp.zeros((K,), dtype),
+            mask=jnp.zeros((K,), bool),
+            n=jnp.int32(0),
+            pim=stack_pim(),
+            pim_valid=jnp.zeros((K,), bool),
+            status=jnp.zeros((K,), jnp.int32),
+            prior_H=jnp.zeros((D, D), dtype),
+            prior_g=jnp.zeros((D,), dtype),
+            prior_rot=eye,
+            prior_pos=z3,
+            prior_vel=z3,
+            prior_bias=jnp.zeros((K, 6), dtype),
+        )
+
+
+@struct.dataclass
+class LandmarkTable:
+    """Fixed-capacity smart-landmark table: the feature-track bookkeeping of
+    the reference backend (addStereoMeasurementsToFeatureTracks,
+    VioBackend.cpp:731-793) as one SoA pytree."""
+
+    ids: jax.Array  # (L,) int32, -1 = free slot
+    obs_uvd: jax.Array  # (L, K, 3) [uL,uR,v] per window slot
+    obs_mask: jax.Array  # (L, K)
+
+    @classmethod
+    def empty(cls, L: int, K: int, dtype=jnp.float32) -> "LandmarkTable":
+        return cls(
+            ids=-jnp.ones((L,), jnp.int32),
+            obs_uvd=jnp.zeros((L, K, 3), dtype),
+            obs_mask=jnp.zeros((L, K), bool),
+        )
+
+
+# ---------------------------------------------------------------------------
+# State retraction & tangent difference
+# ---------------------------------------------------------------------------
+
+
+def retract_states(rot, pos, vel, bias, delta):
+    """Apply per-state tangent updates delta (K, 15)."""
+    dth = delta[:, _TH]
+    R_new = rot @ geo.so3_exp(dth)
+    return (
+        R_new,
+        pos + delta[:, _P],
+        vel + delta[:, _V],
+        bias + jnp.concatenate([delta[:, _BA], delta[:, _BG]], axis=-1),
+    )
+
+
+def local_coords(rot, pos, vel, bias, rot0, pos0, vel0, bias0):
+    """Per-state tangent of (state) relative to (state0): x `boxminus` x0."""
+    dth = geo.so3_log(jnp.swapaxes(rot0, -1, -2) @ rot)
+    return jnp.concatenate(
+        [dth, pos - pos0, vel - vel0, bias - bias0], axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Factor linearization
+# ---------------------------------------------------------------------------
+
+
+def _whiten_from_cov(cov, jitter=1e-12):
+    """W such that W r has identity covariance (inverse Cholesky factor)."""
+    d = cov.shape[-1]
+    L = jnp.linalg.cholesky(cov + jitter * jnp.eye(d, dtype=cov.dtype))
+    return jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(d, dtype=cov.dtype), lower=True
+    )
+
+
+def _imu_factor_blocks(cfg: BackendConfig, win: Window):
+    """Linearize all IMU + bias-random-walk factors between consecutive
+    states. Returns (Ji, Jj, r) stacked over k=1..K-1 (slot k holds the
+    factor between states k-1 and k), whitened, zeroed where invalid."""
+    K = cfg.nr_states
+
+    def retract_one(R, p, v, b, d):
+        return (
+            R @ geo.so3_exp(d[_TH]),
+            p + d[_P],
+            v + d[_V],
+            b + jnp.concatenate([d[_BA], d[_BG]]),
+        )
+
+    def one(k):
+        pim_k = jax.tree.map(lambda x: x[k], win.pim)
+        dt_k = jnp.maximum(win.stamp[k] - win.stamp[k - 1], 1e-3)
+
+        def residual(di, dj):
+            Ri, pi, vi, bi = retract_one(
+                win.rot[k - 1], win.pos[k - 1], win.vel[k - 1],
+                win.bias[k - 1], di,
+            )
+            Rj, pj, vj, bj = retract_one(
+                win.rot[k], win.pos[k], win.vel[k], win.bias[k], dj
+            )
+            si = NavState(rot=Ri, pos=pi, vel=vi)
+            sj = NavState(rot=Rj, pos=pj, vel=vj)
+            bias_i = ImuBias(accel=bi[0:3], gyro=bi[3:6])
+            r_pim = imu_residual(pim_k, si, bias_i, sj, cfg.n_gravity)
+            r_bias = bj - bi
+            return r_pim, r_bias
+
+        z = jnp.zeros(S_DOF, win.pos.dtype)
+        (r_pim, r_bias) = residual(z, z)
+        Jp_i, Jb_i = jax.jacfwd(lambda d: residual(d, z))(z)
+        Jp_j, Jb_j = jax.jacfwd(lambda d: residual(z, d))(z)
+
+        # Whiten PIM residual by its covariance.
+        Wp = _whiten_from_cov(pim_k.cov, jitter=1e-10)
+        r_pim_w = Wp @ r_pim
+        Jp_i_w = Wp @ Jp_i
+        Jp_j_w = Wp @ Jp_j
+        # Whiten bias random walk: sigma^2 * dt per axis.
+        sig = jnp.concatenate(
+            [
+                jnp.full(3, cfg.acc_random_walk, win.pos.dtype),
+                jnp.full(3, cfg.gyro_random_walk, win.pos.dtype),
+            ]
+        ) * jnp.sqrt(dt_k)
+        r_bias_w = r_bias / sig
+        Jb_i_w = Jb_i / sig[:, None]
+        Jb_j_w = Jb_j / sig[:, None]
+
+        r = jnp.concatenate([r_pim_w, r_bias_w])  # (15,)
+        Ji = jnp.concatenate([Jp_i_w, Jb_i_w], axis=0)  # (15, 15)
+        Jj = jnp.concatenate([Jp_j_w, Jb_j_w], axis=0)
+        return Ji, Jj, r
+
+    ks = jnp.arange(1, K)
+    Ji, Jj, r = jax.vmap(one)(ks)
+    ok = (win.pim_valid[1:] & win.mask[1:] & win.mask[:-1]).astype(win.pos.dtype)
+    Ji = Ji * ok[:, None, None]
+    Jj = Jj * ok[:, None, None]
+    r = r * ok[:, None]
+    return Ji, Jj, r
+
+
+def _no_motion_blocks(cfg: BackendConfig, win: Window):
+    """Zero-velocity prior + no-motion between factor at LOW_DISPARITY
+    keyframes (VioBackend.cpp:363-399). Implemented as extra rows on the
+    same consecutive-pair layout as the IMU factors."""
+    K = cfg.nr_states
+    active = (
+        (win.status[1:] == STATUS_LOW_DISPARITY)
+        & win.mask[1:]
+        & win.mask[:-1]
+    ).astype(win.pos.dtype)
+
+    def one(k):
+        # no-motion: identity relative pose between k-1, k
+        dR = jnp.swapaxes(win.rot[k - 1], -1, -2) @ win.rot[k]
+        r_rot = geo.so3_log(dR) / cfg.no_motion_rot_sigma
+        r_pos = (win.pos[k] - win.pos[k - 1]) / cfg.no_motion_pos_sigma
+        r_vel = win.vel[k] / cfg.zero_velocity_sigma
+        # Jacobians (approximate: identity structure; exact enough for the
+        # tiny residuals these factors see).
+        Jr = geo.so3_right_jacobian_inv(geo.so3_log(dR))
+        Ji = jnp.zeros((9, S_DOF), win.pos.dtype)
+        Jj = jnp.zeros((9, S_DOF), win.pos.dtype)
+        Ji = Ji.at[0:3, _TH].set(-(Jr @ dR.T) / cfg.no_motion_rot_sigma)
+        Jj = Jj.at[0:3, _TH].set(Jr / cfg.no_motion_rot_sigma)
+        Ji = Ji.at[3:6, _P].set(-jnp.eye(3) / cfg.no_motion_pos_sigma)
+        Jj = Jj.at[3:6, _P].set(jnp.eye(3) / cfg.no_motion_pos_sigma)
+        Jj = Jj.at[6:9, _V].set(jnp.eye(3) / cfg.zero_velocity_sigma)
+        r = jnp.concatenate([r_rot, r_pos, r_vel])
+        return Ji, Jj, r
+
+    ks = jnp.arange(1, K)
+    Ji, Jj, r = jax.vmap(one)(ks)
+    return Ji * active[:, None, None], Jj * active[:, None, None], r * active[:, None]
+
+
+def _smart_factor_blocks(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
+    """Linearize + Schur-eliminate all smart stereo landmarks.
+
+    Returns (H_pose (K,6,K,6), g_pose (K,6), lmk_points (L,3), lmk_ok (L,)).
+    """
+    K, L = cfg.nr_states, cfg.max_landmarks
+    # Camera poses per state.
+    R_w_cam = win.rot @ cfg.R_b_cam  # (K,3,3)
+    t_w_cam = win.pos + jnp.einsum("kij,j->ki", win.rot, cfg.t_b_cam)
+
+    obs_mask = lmk.obs_mask & win.mask[None, :] & (lmk.ids >= 0)[:, None]
+    pts, ok, _ = triangulate_stereo_landmarks(
+        R_w_cam,
+        t_w_cam,
+        lmk.obs_uvd,
+        obs_mask,
+        fx=cfg.fx,
+        fy=cfg.fy,
+        cx=cfg.cx,
+        cy=cfg.cy,
+        baseline=cfg.baseline,
+        rank_tolerance=cfg.rank_tolerance,
+        landmark_distance_threshold=cfg.landmark_distance_threshold,
+        outlier_rejection_px=cfg.outlier_rejection_px,
+        newest_idx=jnp.maximum(win.n - 1, 0),
+    )
+    ok = ok & (obs_mask.sum(-1) >= cfg.min_obs_for_triangulation)
+
+    # Residual of obs (l, k) wrt pose-k tangent (6) and point (3).
+    def obs_residual(dpose, dpoint, Rk, pk, meas, point):
+        R = Rk @ geo.so3_exp(dpose[0:3])
+        p = pk + dpose[3:6]
+        pw = point + dpoint
+        R_wc = R @ cfg.R_b_cam
+        t_wc = p + R @ cfg.t_b_cam
+        pc = R_wc.T @ (pw - t_wc)
+        z = jnp.where(jnp.abs(pc[2]) < 1e-6, 1e-6, pc[2])
+        pred = jnp.stack(
+            [
+                cfg.fx * pc[0] / z + cfg.cx,
+                cfg.fx * (pc[0] - cfg.baseline) / z + cfg.cx,
+                cfg.fy * pc[1] / z + cfg.cy,
+            ]
+        )
+        return (pred - meas) / cfg.smart_noise_sigma
+
+    z6 = jnp.zeros(6, win.pos.dtype)
+    z3 = jnp.zeros(3, win.pos.dtype)
+
+    def per_obs(Rk, pk, meas, point):
+        r = obs_residual(z6, z3, Rk, pk, meas, point)
+        F = jax.jacfwd(lambda d: obs_residual(d, z3, Rk, pk, meas, point))(z6)
+        E = jax.jacfwd(lambda d: obs_residual(z6, d, Rk, pk, meas, point))(z3)
+        return r, F, E
+
+    per_lmk = jax.vmap(
+        jax.vmap(per_obs, in_axes=(0, 0, 0, None)), in_axes=(None, None, 0, 0)
+    )
+    r, F, E = per_lmk(win.rot, win.pos, lmk.obs_uvd, pts)
+    # r: (L,K,3), F: (L,K,3,6), E: (L,K,3,3)
+
+    # Huber weights on the whitened 3-vector residual norm.
+    rn = jnp.linalg.norm(r, axis=-1)
+    hw = jnp.where(rn > cfg.huber_k, cfg.huber_k / jnp.maximum(rn, 1e-9), 1.0)
+    w = obs_mask & ok[:, None]
+    sw = jnp.sqrt(hw) * w.astype(r.dtype)  # (L,K)
+    r = r * sw[..., None]
+    F = F * sw[..., None, None]
+    E = E * sw[..., None, None]
+
+    # Schur complement per landmark.
+    Hll = jnp.einsum("lkai,lkaj->lij", E, E) + 1e-6 * jnp.eye(3, dtype=r.dtype)
+    Hll_inv = jnp.linalg.inv(Hll)
+    Hpl = jnp.einsum("lkai,lkaj->lkij", F, E)  # (L,K,6,3)
+    gl = jnp.einsum("lkai,lka->li", E, r)  # (L,3)
+
+    # Pose-pose contributions.
+    H_diag = jnp.einsum("lkai,lkaj->kij", F, F)  # (K,6,6) diagonal part
+    T = jnp.einsum("lkij,ljm->lkim", Hpl, Hll_inv)  # (L,K,6,3)
+    H_schur = jnp.einsum("lkim,lqjm->kiqj", T, Hpl)  # (K,6,K,6)
+    H_pose = -jnp.transpose(H_schur, (0, 1, 2, 3))
+    H_pose = H_pose.at[jnp.arange(K), :, jnp.arange(K), :].add(H_diag)
+    g_pose = jnp.einsum("lkai,lka->ki", F, r) - jnp.einsum(
+        "lkim,lm->ki", T, gl
+    )
+    return H_pose, g_pose, pts, ok
+
+
+def _prior_blocks(cfg: BackendConfig, win: Window):
+    """Marginal-prior contribution: H += Lambda, grad += Lambda*dx - g."""
+    dx = local_coords(
+        win.rot, win.pos, win.vel, win.bias,
+        win.prior_rot, win.prior_pos, win.prior_vel, win.prior_bias,
+    ).reshape(-1)
+    grad = win.prior_H @ dx - win.prior_g
+    return win.prior_H, grad
+
+
+# ---------------------------------------------------------------------------
+# Assembly + solve
+# ---------------------------------------------------------------------------
+
+
+def _assemble(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
+    """Build the full (D,D) GN system at the current estimates."""
+    K = cfg.nr_states
+    D = K * S_DOF
+    H = jnp.zeros((K, S_DOF, K, S_DOF), win.pos.dtype)
+    g = jnp.zeros((K, S_DOF), win.pos.dtype)
+
+    # Smart factors (pose block only: rows 0:6 of the state tangent).
+    H_pose, g_pose, pts, lmk_ok = _smart_factor_blocks(cfg, win, lmk)
+    H = H.at[:, 0:6, :, 0:6].add(H_pose)
+    g = g.at[:, 0:6].add(g_pose)
+
+    # IMU + bias factors, and no-motion factors, share the pair layout.
+    for blocks in (_imu_factor_blocks(cfg, win), _no_motion_blocks(cfg, win)):
+        Ji, Jj, r = blocks  # (K-1, rdim, 15) x2, (K-1, rdim)
+        i_idx = jnp.arange(K - 1)
+        j_idx = i_idx + 1
+        H = H.at[i_idx, :, i_idx, :].add(jnp.einsum("kri,krj->kij", Ji, Ji))
+        H = H.at[j_idx, :, j_idx, :].add(jnp.einsum("kri,krj->kij", Jj, Jj))
+        Hij = jnp.einsum("kri,krj->kij", Ji, Jj)
+        H = H.at[i_idx, :, j_idx, :].add(Hij)
+        H = H.at[j_idx, :, i_idx, :].add(jnp.swapaxes(Hij, -1, -2))
+        g = g.at[i_idx].add(jnp.einsum("kri,kr->ki", Ji, r))
+        g = g.at[j_idx].add(jnp.einsum("kri,kr->ki", Jj, r))
+
+    H = H.reshape(D, D)
+    g = g.reshape(D)
+
+    Hp, gp = _prior_blocks(cfg, win)
+    H = H + Hp
+    g = g + gp
+
+    # Inactive state slots: pin with identity to keep the system SPD.
+    inactive = (~win.mask).astype(win.pos.dtype)
+    pin = jnp.repeat(inactive, S_DOF)
+    H = H + jnp.diag(pin)
+    return H, g, pts, lmk_ok
+
+
+def _gn_solve(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
+    """Run cfg.gn_iters Gauss-Newton iterations in place."""
+
+    def body(win, _):
+        H, g, pts, lmk_ok = _assemble(cfg, win, lmk)
+        D = H.shape[0]
+        # Levenberg damping keeps early ill-conditioned iterations stable.
+        Hd = H + 1e-6 * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(D, dtype=H.dtype)
+        L = jnp.linalg.cholesky(Hd)
+        delta = -jax.scipy.linalg.cho_solve((L, True), g)
+        delta = delta.reshape(cfg.nr_states, S_DOF)
+        delta = delta * win.mask[:, None]
+        rot, pos, vel, bias = retract_states(
+            win.rot, win.pos, win.vel, win.bias, delta
+        )
+        win = win.replace(rot=rot, pos=pos, vel=vel, bias=bias)
+        return win, (pts, lmk_ok)
+
+    win, (pts, lmk_ok) = jax.lax.scan(body, win, None, length=cfg.gn_iters)
+    return win, jax.tree.map(lambda x: x[-1], (pts, lmk_ok))
+
+
+# ---------------------------------------------------------------------------
+# Marginalization & shift
+# ---------------------------------------------------------------------------
+
+
+def _marginalize_oldest(cfg: BackendConfig, win: Window) -> Window:
+    """Schur-eliminate state 0 into the prior and shift the window left.
+
+    The eliminated system contains: the current prior + the IMU/bias factor
+    between states 0 and 1 (+ no-motion factors on that pair). Landmark
+    observations in state 0 are dropped (reference drops out-of-horizon
+    smart factors, VioBackend.cpp:1095-1104)."""
+    K = cfg.nr_states
+    D = K * S_DOF
+    H = jnp.zeros((K, S_DOF, K, S_DOF), win.pos.dtype)
+    g = jnp.zeros((K, S_DOF), win.pos.dtype)
+    for blocks in (_imu_factor_blocks(cfg, win), _no_motion_blocks(cfg, win)):
+        Ji, Jj, r = blocks
+        # Only the pair (0,1) participates (k index 0 of the stacks).
+        Ji0, Jj0, r0 = Ji[0], Jj[0], r[0]
+        H = H.at[0, :, 0, :].add(Ji0.T @ Ji0)
+        H = H.at[1, :, 1, :].add(Jj0.T @ Jj0)
+        H01 = Ji0.T @ Jj0
+        H = H.at[0, :, 1, :].add(H01)
+        H = H.at[1, :, 0, :].add(H01.T)
+        g = g.at[0].add(Ji0.T @ r0)
+        g = g.at[1].add(Jj0.T @ r0)
+    H = H.reshape(D, D)
+    g = g.reshape(D)
+    Hp, gp = _prior_blocks(cfg, win)
+    H = H + Hp
+    # Convert gradient to the "eta" convention: prior cost gradient at the
+    # current lin point is (Hp dx - g_p); here states == lin point after we
+    # reset below, so we track the gradient directly.
+    g = g + gp
+
+    # Schur-eliminate the first S_DOF block.
+    d = S_DOF
+    H00 = H[:d, :d] + 1e-8 * jnp.eye(d, dtype=H.dtype)
+    H01 = H[:d, d:]
+    H11 = H[d:, d:]
+    sol = jnp.linalg.solve(H00, jnp.concatenate([H01, g[:d, None]], axis=1))
+    X = sol[:, :-1]
+    y = sol[:, -1]
+    Lam = H11 - H01.T @ X
+    eta = g[d:] - H01.T @ y  # gradient on remaining states
+
+    # Place the reduced prior into slots 0..K-2 of a fresh (D,D).
+    newH = jnp.zeros((D, D), H.dtype).at[: D - d, : D - d].set(Lam)
+    newg = jnp.zeros((D,), H.dtype).at[: D - d].set(-eta)
+
+    shift = lambda a: jnp.roll(a, -1, axis=0)
+    win = win.replace(
+        rot=shift(win.rot),
+        pos=shift(win.pos),
+        vel=shift(win.vel),
+        bias=shift(win.bias),
+        stamp=shift(win.stamp),
+        mask=shift(win.mask).at[K - 1].set(False),
+        status=shift(win.status),
+        pim=jax.tree.map(lambda x: jnp.roll(x, -1, axis=0), win.pim),
+        pim_valid=shift(win.pim_valid).at[K - 1].set(False),
+        n=win.n - 1,
+        prior_H=newH,
+        prior_g=newg,
+        prior_rot=shift(win.rot),
+        prior_pos=shift(win.pos),
+        prior_vel=shift(win.vel),
+        prior_bias=shift(win.bias),
+    )
+    return win
+
+
+# ---------------------------------------------------------------------------
+# Landmark table maintenance
+# ---------------------------------------------------------------------------
+
+
+def update_landmarks(
+    lmk: LandmarkTable,
+    meas_ids: jax.Array,  # (N,)
+    meas_uvd: jax.Array,  # (N,3)
+    meas_mask: jax.Array,  # (N,)
+    slot: jax.Array,  # scalar: window slot of this keyframe
+) -> LandmarkTable:
+    """Insert this keyframe's stereo measurements into the track table."""
+    L = lmk.ids.shape[0]
+    N = meas_ids.shape[0]
+    # Match measurements to existing rows.
+    eq = (lmk.ids[:, None] == meas_ids[None, :]) & meas_mask[None, :] & (
+        lmk.ids >= 0
+    )[:, None]
+    row_of_meas = jnp.argmax(eq, axis=0)  # (N,)
+    found = eq.any(axis=0)
+
+    # Assign unmatched measurements to free rows, oldest-free first.
+    free = lmk.ids < 0
+    new_meas = meas_mask & ~found
+    free_rows = jnp.argsort(~free)  # free rows first (stable)
+    new_rank = jnp.cumsum(new_meas) - 1  # rank among new measurements
+    target_row = free_rows[jnp.clip(new_rank, 0, L - 1)]
+    # Drop new measurements beyond capacity.
+    capacity_ok = new_rank < free.sum()
+    new_meas = new_meas & capacity_ok
+
+    rows = jnp.where(new_meas, target_row, row_of_meas)
+    write = meas_mask & (found | new_meas)
+    # Non-writes are parked at an out-of-bounds row: JAX scatter updates
+    # drop out-of-bounds indices, so these vanish without read-modify races.
+    rows_safe = jnp.where(write, rows, L)
+
+    ids = lmk.ids.at[rows_safe].set(meas_ids, mode="drop")
+    obs_uvd = lmk.obs_uvd.at[rows_safe, slot].set(meas_uvd, mode="drop")
+    obs_mask = lmk.obs_mask.at[rows_safe, slot].set(True, mode="drop")
+    return LandmarkTable(ids=ids, obs_uvd=obs_uvd, obs_mask=obs_mask)
+
+
+def shift_landmarks(lmk: LandmarkTable) -> LandmarkTable:
+    """Drop observations of the state leaving the window; free dead rows."""
+    obs_uvd = jnp.roll(lmk.obs_uvd, -1, axis=1)
+    obs_mask = jnp.roll(lmk.obs_mask, -1, axis=1).at[:, -1].set(False)
+    alive = obs_mask.any(axis=1)
+    ids = jnp.where(alive, lmk.ids, -1)
+    return LandmarkTable(ids=ids, obs_uvd=obs_uvd, obs_mask=obs_mask)
+
+
+# ---------------------------------------------------------------------------
+# Public stepping API
+# ---------------------------------------------------------------------------
+
+
+def bootstrap(
+    cfg: BackendConfig,
+    win: Window,
+    nav: NavState,
+    bias: jax.Array,  # (6,)
+    stamp: jax.Array,
+) -> Window:
+    """Install the first keyframe state with initial priors
+    (reference initStateAndSetPriors, VioBackend.h:143-194)."""
+    K = cfg.nr_states
+    win = win.replace(
+        rot=win.rot.at[0].set(nav.rot),
+        pos=win.pos.at[0].set(nav.pos),
+        vel=win.vel.at[0].set(nav.vel),
+        bias=win.bias.at[0].set(bias),
+        stamp=win.stamp.at[0].set(stamp),
+        mask=win.mask.at[0].set(True),
+        n=jnp.int32(1),
+    )
+    # Initial prior information on state 0.
+    # Rotation prior: roll/pitch tight axes in world frame -> body frame.
+    Info_rot_w = jnp.diag(
+        jnp.stack(
+            [
+                1.0 / cfg.init_rp_sigma**2,
+                1.0 / cfg.init_rp_sigma**2,
+                1.0 / cfg.init_yaw_sigma**2,
+            ]
+        )
+    )
+    R0 = nav.rot
+    Info_rot_b = R0.T @ Info_rot_w @ R0
+    blocks = [
+        Info_rot_b,
+        jnp.eye(3) / cfg.init_pos_sigma**2,
+        jnp.eye(3) / cfg.init_vel_sigma**2,
+        jnp.eye(3) / cfg.init_ba_sigma**2,
+        jnp.eye(3) / cfg.init_bg_sigma**2,
+    ]
+    P0 = jax.scipy.linalg.block_diag(*blocks)
+    prior_H = win.prior_H.at[:S_DOF, :S_DOF].set(P0.astype(win.pos.dtype))
+    win = win.replace(
+        prior_H=prior_H,
+        prior_g=jnp.zeros_like(win.prior_g),
+        prior_rot=win.rot,
+        prior_pos=win.pos,
+        prior_vel=win.vel,
+        prior_bias=win.bias,
+    )
+    return win
+
+
+def backend_step(
+    cfg: BackendConfig,
+    win: Window,
+    lmk: LandmarkTable,
+    *,
+    pim: Pim,
+    stamp: jax.Array,
+    meas_ids: jax.Array,
+    meas_uvd: jax.Array,
+    meas_mask: jax.Array,
+    status: jax.Array,
+):
+    """One keyframe update: predict-insert state, add measurements,
+    optimize, marginalize if the window is full.
+
+    The jittable core of VioBackend::addVisualInertialStateAndOptimize +
+    optimize (VioBackend.cpp:296-428, 1036-1250). Returns
+    (win, lmk, outputs dict)."""
+    K = cfg.nr_states
+    full = win.n >= K
+
+    def do_shift(args):
+        w, l = args
+        return _marginalize_oldest(cfg, w), shift_landmarks(l)
+
+    win, lmk = jax.lax.cond(full, do_shift, lambda a: a, (win, lmk))
+    slot = jnp.minimum(win.n, K - 1)
+
+    # PIM-predicted initial guess from the previous newest state
+    # (pose_guess_source IMU, VioBackend.cpp:797-891).
+    prev = jnp.maximum(slot - 1, 0)
+    from kimera_vio_tpu.frontend.imu_frontend import pim_predict
+
+    prev_nav = NavState(rot=win.rot[prev], pos=win.pos[prev], vel=win.vel[prev])
+    prev_bias = ImuBias(accel=win.bias[prev, 0:3], gyro=win.bias[prev, 3:6])
+    guess = pim_predict(pim, prev_nav, prev_bias, cfg.n_gravity)
+
+    win = win.replace(
+        rot=win.rot.at[slot].set(guess.rot),
+        pos=win.pos.at[slot].set(guess.pos),
+        vel=win.vel.at[slot].set(guess.vel),
+        bias=win.bias.at[slot].set(win.bias[prev]),
+        stamp=win.stamp.at[slot].set(stamp),
+        mask=win.mask.at[slot].set(True),
+        status=win.status.at[slot].set(status),
+        pim=jax.tree.map(
+            lambda all_, new: all_.at[slot].set(new), win.pim, pim
+        ),
+        pim_valid=win.pim_valid.at[slot].set(slot > 0),
+        n=jnp.minimum(win.n + 1, K),
+    )
+    lmk = update_landmarks(lmk, meas_ids, meas_uvd, meas_mask, slot)
+
+    win, (pts, lmk_ok) = _gn_solve(cfg, win, lmk)
+
+    outputs = {
+        "rot": win.rot[slot],
+        "pos": win.pos[slot],
+        "vel": win.vel[slot],
+        "bias": win.bias[slot],
+        "stamp": stamp,
+        "slot": slot,
+        "lmk_points": pts,
+        "lmk_valid": lmk_ok,
+        "lmk_ids": lmk.ids,
+    }
+    return win, lmk, outputs

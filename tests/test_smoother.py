@@ -1,0 +1,184 @@
+"""Fixed-lag smoother tests: synthetic constant-velocity trajectory with
+perfect stereo landmark measurements + consistent IMU, following the
+reference's testVioBackend.cpp strategy (smoother convergence on simulated
+motion, tests/testVioBackend.cpp:180,366)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kimera_vio_tpu.backend import smoother as sm
+from kimera_vio_tpu.common import geometry as geo
+from kimera_vio_tpu.common.types import ImuBias, ImuBlock, NavState
+from kimera_vio_tpu.config.params import ImuParams
+from kimera_vio_tpu.frontend import imu_frontend as imu
+
+GRAVITY = np.array([0.0, 0.0, -9.81], np.float32)
+PIM_PARAMS = imu.PimParams.from_params(ImuParams())
+
+
+def make_world(n_lmk=80, seed=0, span=8.0):
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [
+            rng.uniform(-3, 3 + span, n_lmk),
+            rng.uniform(-2.5, 2.5, n_lmk),
+            rng.uniform(4, 8, n_lmk),
+        ],
+        -1,
+    ).astype(np.float32)
+
+
+def project_stereo(cfg, R_wb, p_wb, lmk_w):
+    """Perfect stereo measurements of world landmarks (identity cam
+    extrinsics in the test cfg)."""
+    pc = (lmk_w - p_wb) @ np.asarray(R_wb)  # R^T (p - t)
+    z = pc[:, 2]
+    uL = float(cfg.fx) * pc[:, 0] / z + float(cfg.cx)
+    uR = float(cfg.fx) * (pc[:, 0] - float(cfg.baseline)) / z + float(cfg.cx)
+    v = float(cfg.fy) * pc[:, 1] / z + float(cfg.cy)
+    vis = (z > 1.0) & (uL > 0) & (uL < 752) & (v > 0) & (v < 480) & (uR > 0)
+    return np.stack([uL, uR, v], -1).astype(np.float32), vis
+
+
+def constant_velocity_pim(vel, dt_kf=0.2, rate=200.0):
+    """PIM for a constant-velocity interval (acc measures -gravity)."""
+    n = int(dt_kf * rate)
+    acc = np.tile(-GRAVITY, (n, 1)).astype(np.float32)
+    gyr = np.zeros((n, 3), np.float32)
+    block = ImuBlock(
+        acc=jnp.asarray(acc),
+        gyr=jnp.asarray(gyr),
+        dt=jnp.full((n,), 1.0 / rate, jnp.float32),
+        mask=jnp.ones((n,), bool),
+    )
+    return imu.preintegrate(PIM_PARAMS, block, ImuBias.zero())
+
+
+def run_sequence(K=8, n_kf=8, n_lmk=80, L=128, vel=np.array([1.0, 0, 0])):
+    cfg = sm.BackendConfig(nr_states=K, max_landmarks=L, gn_iters=2)
+    win = sm.Window.empty(K)
+    lmk_table = sm.LandmarkTable.empty(L, K)
+    lmk_w = make_world(n_lmk)
+    vel = np.asarray(vel, np.float32)
+    dt_kf = 0.2
+
+    # Bootstrap at ground truth.
+    nav0 = NavState(
+        rot=jnp.eye(3), pos=jnp.zeros(3), vel=jnp.asarray(vel)
+    )
+    win = sm.bootstrap(cfg, win, nav0, jnp.zeros(6), jnp.float32(0.0))
+    # First keyframe's measurements go in via update_landmarks directly.
+    uvd0, vis0 = project_stereo(cfg, np.eye(3), np.zeros(3), lmk_w)
+    ids = np.arange(n_lmk, dtype=np.int32)
+    pad = L - n_lmk
+    pad_ids = np.full(pad, -1, np.int32)
+    meas_ids = jnp.asarray(np.concatenate([ids, pad_ids]))
+    uvd0p = jnp.asarray(np.concatenate([uvd0, np.zeros((pad, 3), np.float32)]))
+    mask0 = jnp.asarray(np.concatenate([vis0, np.zeros(pad, bool)]))
+    lmk_table = sm.update_landmarks(lmk_table, meas_ids, uvd0p, mask0, jnp.int32(0))
+
+    pim = constant_velocity_pim(vel, dt_kf)
+    gt_traj = [(np.eye(3), np.zeros(3))]
+    est_traj = [(np.asarray(win.rot[0]), np.asarray(win.pos[0]))]
+    step = jax.jit(lambda w, l, pim, stamp, mi, mu, mm: sm.backend_step(
+        cfg, w, l, pim=pim, stamp=stamp, meas_ids=mi, meas_uvd=mu,
+        meas_mask=mm, status=jnp.int32(sm.STATUS_VALID),
+    ))
+    for k in range(1, n_kf):
+        t = k * dt_kf
+        p_gt = vel * t
+        uvd, vis = project_stereo(cfg, np.eye(3), p_gt, lmk_w)
+        mu = jnp.asarray(np.concatenate([uvd, np.zeros((pad, 3), np.float32)]))
+        mm = jnp.asarray(np.concatenate([vis, np.zeros(pad, bool)]))
+        win, lmk_table, out = step(
+            win, lmk_table, pim, jnp.float32(t), meas_ids, mu, mm
+        )
+        gt_traj.append((np.eye(3), p_gt.astype(np.float32)))
+        est_traj.append((np.asarray(out["rot"]), np.asarray(out["pos"])))
+    return cfg, win, lmk_table, gt_traj, est_traj, lmk_w
+
+
+def test_constant_velocity_convergence():
+    cfg, win, lmk, gt, est, _ = run_sequence(K=8, n_kf=8)
+    for (Rg, pg), (Re, pe) in zip(gt, est):
+        np.testing.assert_allclose(pe, pg, atol=0.02)
+        dR = np.asarray(geo.so3_log(jnp.asarray(Rg.T @ Re)))
+        assert np.linalg.norm(dR) < 0.01
+
+
+def test_velocity_and_bias_estimates():
+    cfg, win, lmk, gt, est, _ = run_sequence(K=8, n_kf=8)
+    slot = int(win.n) - 1
+    np.testing.assert_allclose(
+        np.asarray(win.vel[slot]), [1.0, 0, 0], atol=0.05
+    )
+    np.testing.assert_allclose(np.asarray(win.bias[slot]), np.zeros(6), atol=0.05)
+
+
+def test_marginalization_window_slides():
+    """More keyframes than window states: estimates stay consistent after
+    marginalization kicks in."""
+    cfg, win, lmk, gt, est, _ = run_sequence(K=5, n_kf=12)
+    assert int(win.n) == 5
+    for (Rg, pg), (Re, pe) in zip(gt[-4:], est[-4:]):
+        np.testing.assert_allclose(pe, pg, atol=0.05)
+
+
+def test_landmark_map_export():
+    cfg, win, lmk, gt, est, lmk_w = run_sequence(K=8, n_kf=6)
+    # Re-run triangulation through the smart-factor path outputs.
+    from kimera_vio_tpu.ops.triangulation import triangulate_stereo_landmarks
+
+    R_w_cam = win.rot @ cfg.R_b_cam
+    t_w_cam = win.pos + jnp.einsum("kij,j->ki", win.rot, cfg.t_b_cam)
+    obs_mask = lmk.obs_mask & win.mask[None, :] & (lmk.ids >= 0)[:, None]
+    pts, ok, err = triangulate_stereo_landmarks(
+        R_w_cam, t_w_cam, lmk.obs_uvd, obs_mask,
+        fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy, baseline=cfg.baseline,
+    )
+    pts, ok = np.asarray(pts), np.asarray(ok)
+    ids = np.asarray(lmk.ids)
+    n_checked = 0
+    for row in range(len(ids)):
+        if ok[row] and ids[row] >= 0:
+            np.testing.assert_allclose(pts[row], lmk_w[ids[row]], atol=0.05)
+            n_checked += 1
+    assert n_checked > 30
+
+
+def test_noisy_measurements_still_converge():
+    """Pixel noise on the stereo measurements: estimates stay within a few
+    cm (loose statistical bound)."""
+    rng = np.random.default_rng(42)
+    K, n_kf, L, n_lmk = 8, 8, 128, 80
+    cfg = sm.BackendConfig(nr_states=K, max_landmarks=L, gn_iters=2)
+    win = sm.Window.empty(K)
+    lmk_table = sm.LandmarkTable.empty(L, K)
+    lmk_w = make_world(n_lmk, seed=3)
+    vel = np.array([1.0, 0, 0], np.float32)
+    dt_kf = 0.2
+    nav0 = NavState(rot=jnp.eye(3), pos=jnp.zeros(3), vel=jnp.asarray(vel))
+    win = sm.bootstrap(cfg, win, nav0, jnp.zeros(6), jnp.float32(0.0))
+    ids = np.arange(n_lmk, dtype=np.int32)
+    pad = L - n_lmk
+    meas_ids = jnp.asarray(np.concatenate([ids, np.full(pad, -1, np.int32)]))
+    pim = constant_velocity_pim(vel, dt_kf)
+    errs = []
+    for k in range(n_kf):
+        t = k * dt_kf
+        p_gt = vel * t
+        uvd, vis = project_stereo(cfg, np.eye(3), p_gt, lmk_w)
+        uvd = uvd + rng.normal(0, 0.3, uvd.shape).astype(np.float32)
+        mu = jnp.asarray(np.concatenate([uvd, np.zeros((pad, 3), np.float32)]))
+        mm = jnp.asarray(np.concatenate([vis, np.zeros(pad, bool)]))
+        if k == 0:
+            lmk_table = sm.update_landmarks(lmk_table, meas_ids, mu, mm, jnp.int32(0))
+            continue
+        win, lmk_table, out = sm.backend_step(
+            cfg, win, lmk_table, pim=pim, stamp=jnp.float32(t),
+            meas_ids=meas_ids, meas_uvd=mu, meas_mask=mm,
+            status=jnp.int32(sm.STATUS_VALID),
+        )
+        errs.append(np.linalg.norm(np.asarray(out["pos"]) - p_gt))
+    assert np.median(errs) < 0.05, errs
