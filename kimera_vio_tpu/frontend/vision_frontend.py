@@ -1,0 +1,501 @@
+"""Stereo vision frontend: per-frame tracking + per-keyframe geometry.
+
+TPU-native rebuild of StereoVisionImuFrontend
+(reference src/frontend/StereoVisionImuFrontend.cpp:102-481) and the shared
+VisionImuFrontend state machine (VisionImuFrontend.cpp:50-64):
+
+per frame (jitted, device-resident):
+  1. preintegrate the frame's IMU block, continuing from the last keyframe
+     (ImuFrontend accumulation, StereoVisionImuFrontend.cpp:129-150),
+  2. predict keypoint motion from the gyro rotation (rotational optical
+     flow, OpticalFlowPredictor.cpp:70-126),
+  3. pyramidal LK track from the last keyframe's image
+     (Tracker::featureTracking, Tracker.cpp:137-188),
+  4. keyframe policy: max/min intra-keyframe time, min features, disparity
+     (shouldBeKeyframe, VisionImuFrontend.cpp:175-232);
+
+per keyframe (jitted):
+  5. mono RANSAC (2-pt with gyro rotation / 5-pt)
+     (StereoVisionImuFrontend.cpp:353-360),
+  6. sparse stereo matching -> (uL, uR, v) + depths
+     (StereoMatcher, :364),
+  7. stereo RANSAC (1-pt voting given rotation / 3-pt Arun) (:369-387),
+  8. feature re-detection with occupancy suppression (:421),
+  9. emit StereoMeasurements for the backend (:485-531).
+
+The tracked-feature state lives on device as a fixed-capacity
+`TrackedFeatures` SoA; landmark ids are assigned by a monotonically growing
+on-device counter (FeatureDetector.cpp:140-152).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from kimera_vio_tpu.common import geometry as geo
+from kimera_vio_tpu.common.types import (
+    ImuBias,
+    ImuBlock,
+    StereoMeasurements,
+    TrackedFeatures,
+)
+from kimera_vio_tpu.frontend import imu_frontend as imu
+from kimera_vio_tpu.frontend.camera import (
+    PinholeCamera,
+    StereoCamera,
+    bearing_vectors,
+    rectification_map,
+    rectify_keypoints,
+    remap_bilinear,
+)
+from kimera_vio_tpu.ops import corner_detection as det
+from kimera_vio_tpu.ops import optical_flow as of
+from kimera_vio_tpu.ops import ransac
+from kimera_vio_tpu.ops.stereo_matching import match_stereo
+
+TRACKING_VALID = 0
+TRACKING_LOW_DISPARITY = 1
+TRACKING_FEW_MATCHES = 2
+TRACKING_INVALID = 3
+
+
+@struct.dataclass
+class FrontendConfig:
+    """Static frontend configuration + precomputed camera data."""
+
+    # static ints (specialize the trace)
+    max_features: int = struct.field(pytree_node=False, default=384)
+    klt_win: int = struct.field(pytree_node=False, default=24)
+    klt_max_iter: int = struct.field(pytree_node=False, default=30)
+    klt_max_level: int = struct.field(pytree_node=False, default=4)
+    templ_cols: int = struct.field(pytree_node=False, default=101)
+    templ_rows: int = struct.field(pytree_node=False, default=11)
+    max_disparity: int = struct.field(pytree_node=False, default=128)
+    n_hyp_mono: int = struct.field(pytree_node=False, default=128)
+    nr_horizontal_bins: int = struct.field(pytree_node=False, default=7)
+    nr_vertical_bins: int = struct.field(pytree_node=False, default=5)
+    use_2point_mono: bool = struct.field(pytree_node=False, default=True)
+    use_1point_stereo: bool = struct.field(pytree_node=False, default=True)
+    do_subpixel: bool = struct.field(pytree_node=False, default=True)
+    equalize: bool = struct.field(pytree_node=False, default=False)
+    # traced scalars
+    klt_eps: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.1))
+    max_feature_age: jax.Array = struct.field(default_factory=lambda: jnp.int32(25))
+    quality_level: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.001))
+    min_distance: jax.Array = struct.field(default_factory=lambda: jnp.float32(20.0))
+    min_intra_kf_time: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.2))
+    max_intra_kf_time: jax.Array = struct.field(default_factory=lambda: jnp.float32(5.0))
+    min_features: jax.Array = struct.field(default_factory=lambda: jnp.int32(0))
+    disparity_threshold: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.5))
+    max_disparity_since_lkf: jax.Array = struct.field(default_factory=lambda: jnp.float32(1000.0))
+    ransac_threshold_mono: jax.Array = struct.field(default_factory=lambda: jnp.float32(1e-6))
+    ransac_threshold_stereo: jax.Array = struct.field(default_factory=lambda: jnp.float32(6.2514))
+    min_mono_inliers: jax.Array = struct.field(default_factory=lambda: jnp.int32(10))
+    min_stereo_inliers: jax.Array = struct.field(default_factory=lambda: jnp.int32(5))
+    min_point_dist: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.5))
+    max_point_dist: jax.Array = struct.field(default_factory=lambda: jnp.float32(10.0))
+    templ_tolerance: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.15))
+    pixel_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0))
+
+    @classmethod
+    def from_params(cls, fp, max_features=384):
+        """Build from a FrontendParams (config/params.py)."""
+        f, i = jnp.float32, jnp.int32
+        # Static max disparity bound (fx*b/minDepth is ~101 on EuRoC).
+        return cls(
+            max_features=max_features,
+            klt_win=fp.klt_win_size,
+            klt_max_iter=fp.klt_max_iter,
+            klt_max_level=fp.klt_max_level,
+            templ_cols=fp.templ_cols,
+            templ_rows=fp.templ_rows,
+            nr_horizontal_bins=fp.nr_horizontal_bins,
+            nr_vertical_bins=fp.nr_vertical_bins,
+            use_2point_mono=fp.ransac_use_2point_mono,
+            use_1point_stereo=fp.ransac_use_1point_stereo,
+            do_subpixel=fp.enable_subpixel_corner_finder,
+            equalize=fp.equalize_image,
+            klt_eps=f(fp.klt_eps),
+            max_feature_age=i(fp.max_feature_age),
+            quality_level=f(fp.quality_level),
+            min_distance=f(fp.min_distance),
+            min_intra_kf_time=f(fp.min_intra_keyframe_time_s),
+            max_intra_kf_time=f(fp.max_intra_keyframe_time_s),
+            min_features=i(fp.min_number_features),
+            disparity_threshold=f(fp.disparity_threshold),
+            max_disparity_since_lkf=f(fp.max_disparity_since_lkf),
+            ransac_threshold_mono=f(fp.ransac_threshold_mono),
+            # reference yaml value 1.0 is fed to the chi2 voting gate; the
+            # comment in Tracker.cpp:484-490 documents 6.2514 = chi2inv(.9,3)
+            ransac_threshold_stereo=f(6.2514 * fp.ransac_threshold_stereo),
+            min_mono_inliers=i(fp.min_nr_mono_inliers),
+            min_stereo_inliers=i(fp.min_nr_stereo_inliers),
+            min_point_dist=f(fp.min_point_dist),
+            max_point_dist=f(fp.max_point_dist),
+            templ_tolerance=f(fp.tolerance_template_matching),
+        )
+
+
+@struct.dataclass
+class FrontendState:
+    """Device-resident frontend state carried frame to frame."""
+
+    features: TrackedFeatures  # tracked at the CURRENT frame
+    lkf_features: TrackedFeatures  # as of the last keyframe
+    lkf_pyramid: jax.Array  # (n_levels...) stacked? -> stored as tuple
+    cur_pyramid: jax.Array
+    lkf_grads: jax.Array
+    pim: imu.Pim  # accumulated since last keyframe
+    imu_bias: ImuBias
+    lkf_uvd: jax.Array  # (N,3) last-keyframe stereo meas [uL,uR,v]
+    lkf_uvd_mask: jax.Array  # (N,)
+    lkf_stamp: jax.Array  # float32 s
+    next_id: jax.Array  # int32 landmark id counter
+    frame_count: jax.Array  # int32
+    kf_count: jax.Array
+
+
+def _stack_pyr(pyr: list[jax.Array]) -> tuple:
+    return tuple(pyr)
+
+
+class StereoFrontend:
+    """Host-side orchestrator owning the jitted per-frame / per-keyframe
+    computations. Not a pytree; holds static config + camera constants."""
+
+    def __init__(self, cfg: FrontendConfig, stereo: StereoCamera, pim_params: imu.PimParams):
+        self.cfg = cfg
+        self.stereo = stereo
+        self.pim_params = pim_params
+        self.left = stereo.left
+        H, W = self.left.height, self.left.width
+        # Precompute rectification maps (host once).
+        self.map_left = rectification_map(stereo, stereo.left, stereo.R_rect_l)
+        self.map_right = rectification_map(stereo, stereo.right, stereo.R_rect_r)
+        # Rectified intrinsics matrix for flow prediction.
+        fx, fy = float(stereo.fx), float(stereo.fy)
+        cx, cy = float(stereo.cx), float(stereo.cy)
+        self.K_rect = jnp.array(
+            [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32
+        )
+        self.K_rect_inv = jnp.linalg.inv(self.K_rect)
+        # R from body to rectified-left cam (for gyro rotation transfer).
+        self.R_cam_body = jnp.asarray(stereo.R_b_rect).T
+
+        self._process_frame = jax.jit(self._process_frame_impl)
+        self._init_state = jax.jit(self._init_state_impl)
+
+    # ------------------------------------------------------------------
+    def init_state(self, left_img, right_img, stamp):
+        return self._init_state(left_img, right_img, jnp.float32(stamp))
+
+    def _init_state_impl(self, left_img, right_img, stamp):
+        cfg = self.cfg
+        left_rect = remap_bilinear(left_img, self.map_left)
+        pyr = of.build_pyramid(left_rect, cfg.klt_max_level)
+        grads = tuple(of._grad(p) for p in pyr)
+        feats = TrackedFeatures.empty(cfg.max_features)
+        uv, valid = det.detect_features(
+            left_rect,
+            feats.uv,
+            feats.mask,
+            cfg.max_features,
+            quality_level=cfg.quality_level,
+            min_distance=cfg.min_distance,
+            nr_horizontal_bins=cfg.nr_horizontal_bins,
+            nr_vertical_bins=cfg.nr_vertical_bins,
+            do_subpixel=cfg.do_subpixel,
+        )
+        ids = jnp.where(valid, jnp.arange(cfg.max_features, dtype=jnp.int32), -1)
+        feats = TrackedFeatures(
+            uv=uv,
+            uv_rect=uv,  # already detected on the rectified image
+            versors=self._versors_from_rect(uv),
+            ids=ids,
+            ages=jnp.zeros(cfg.max_features, jnp.int32),
+            mask=valid,
+        )
+        state = FrontendState(
+            features=feats,
+            lkf_features=feats,
+            lkf_pyramid=_stack_pyr(pyr),
+            cur_pyramid=_stack_pyr(pyr),
+            lkf_grads=grads,
+            pim=imu.Pim.zero(),
+            imu_bias=ImuBias.zero(),
+            lkf_uvd=jnp.zeros((cfg.max_features, 3), jnp.float32),
+            lkf_uvd_mask=jnp.zeros(cfg.max_features, bool),
+            lkf_stamp=stamp,
+            next_id=jnp.int32(cfg.max_features),
+            frame_count=jnp.int32(1),
+            kf_count=jnp.int32(1),
+        )
+        # First keyframe output: stereo-match the fresh detections.
+        right_rect = remap_bilinear(right_img, self.map_right)
+        meas, n_stereo = self._stereo_measurements(left_rect, right_rect, feats)
+        state = state.replace(lkf_uvd=meas.uvs, lkf_uvd_mask=meas.mask)
+        return state, meas
+
+    # ------------------------------------------------------------------
+    def _versors_from_rect(self, uv_rect):
+        """Bearing vectors in the rectified-left cam frame from rectified
+        pixel coords (pinhole, no distortion)."""
+        x = (uv_rect[:, 0] - self.stereo.cx) / self.stereo.fx
+        y = (uv_rect[:, 1] - self.stereo.cy) / self.stereo.fy
+        v = jnp.stack([x, y, jnp.ones_like(x)], -1)
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    def _stereo_measurements(self, left_rect, right_rect, feats):
+        cfg = self.cfg
+        uv_right, depth, ok = match_stereo(
+            left_rect,
+            right_rect,
+            feats.uv_rect,
+            feats.mask,
+            fx=self.stereo.fx,
+            baseline=self.stereo.baseline,
+            templ_cols=cfg.templ_cols,
+            templ_rows=cfg.templ_rows,
+            max_disparity=cfg.max_disparity,
+            min_point_dist=cfg.min_point_dist,
+            max_point_dist=cfg.max_point_dist,
+            tolerance=cfg.templ_tolerance,
+        )
+        uvd = jnp.stack(
+            [feats.uv_rect[:, 0], uv_right[:, 0], feats.uv_rect[:, 1]], -1
+        )
+        meas = StereoMeasurements(ids=feats.ids, uvs=uvd, mask=ok & feats.mask)
+        return meas, ok.sum()
+
+    # ------------------------------------------------------------------
+    def process_frame(self, state, left_img, right_img, imu_block, stamp):
+        """Returns (state, outputs dict). Host wrapper over the jitted impl."""
+        return self._process_frame(
+            state, left_img, right_img, imu_block, jnp.float32(stamp)
+        )
+
+    def _process_frame_impl(
+        self, state: FrontendState, left_img, right_img, imu_block: ImuBlock, stamp
+    ):
+        cfg = self.cfg
+        left_rect = remap_bilinear(left_img, self.map_left)
+        cur_pyr = of.build_pyramid(left_rect, cfg.klt_max_level)
+
+        # 1. Continue PIM accumulation since last keyframe.
+        pim = imu.preintegrate(
+            self.pim_params, imu_block, state.imu_bias, init=state.pim
+        )
+
+        # 2. Rotational flow prediction: body rotation since lkf -> cam.
+        R_cam = self.R_cam_body @ pim.delta_R @ self.R_cam_body.T
+        feats = state.lkf_features
+        init_uv = of.predict_flow_rotational(
+            feats.uv_rect,
+            feats.mask,
+            R_cam.T,  # warp lkf points into current frame
+            self.K_rect,
+            self.K_rect_inv,
+            self.left.width,
+            self.left.height,
+        )
+
+        # 3. LK track lkf -> current (reference tracks kf-to-frame).
+        tracked_uv, ok = of.klt_track(
+            list(state.lkf_pyramid),
+            list(cur_pyr),
+            feats.uv_rect,
+            init_uv,
+            feats.mask,
+            win=cfg.klt_win,
+            max_iter=cfg.klt_max_iter,
+            eps=cfg.klt_eps,
+            prev_grads=list(state.lkf_grads),
+        )
+        ok = ok & feats.mask & (feats.ages < cfg.max_feature_age)
+        cur_feats = TrackedFeatures(
+            uv=tracked_uv,
+            uv_rect=tracked_uv,
+            versors=self._versors_from_rect(tracked_uv),
+            ids=jnp.where(ok, feats.ids, -1),
+            ages=feats.ages,
+            mask=ok,
+        )
+
+        # 4. Keyframe policy (VisionImuFrontend::shouldBeKeyframe).
+        dt = stamp - state.lkf_stamp
+        disp = jnp.linalg.norm(tracked_uv - feats.uv_rect, axis=-1)
+        disp_ok = ok
+        n_ok = ok.sum()
+        med_disp = jnp.nanmedian(jnp.where(disp_ok, disp, jnp.nan))
+        med_disp = jnp.nan_to_num(med_disp, nan=0.0)
+        time_min = dt >= cfg.min_intra_kf_time
+        time_max = dt >= cfg.max_intra_kf_time
+        enough_disp = med_disp >= cfg.disparity_threshold
+        too_few = n_ok < jnp.maximum(cfg.min_features, 1)
+        is_keyframe = time_max | too_few | (time_min & enough_disp)
+        low_disparity = time_min & ~enough_disp & ~too_few
+
+        status = jnp.where(
+            low_disparity,
+            TRACKING_LOW_DISPARITY,
+            jnp.where(too_few, TRACKING_FEW_MATCHES, TRACKING_VALID),
+        )
+
+        # --- keyframe branch (computed unconditionally; selected at end —
+        # the detector+matcher dominate and only run usefully on keyframes,
+        # but a lax.cond on traced `is_keyframe` would still compile both
+        # paths; we instead gate state updates with `where`) ---
+        kf_state, kf_meas, kf_extras = self._keyframe_branch(
+            state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp
+        )
+
+        # Non-keyframe state: keep lkf data, update current features/pyr.
+        nk_state = state.replace(
+            features=cur_feats,
+            cur_pyramid=_stack_pyr(cur_pyr),
+            pim=pim,
+            frame_count=state.frame_count + 1,
+        )
+
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(is_keyframe, x, y), a, b
+        )
+        new_state = sel(kf_state, nk_state)
+        outputs = {
+            "is_keyframe": is_keyframe,
+            "status": jnp.where(is_keyframe, status, TRACKING_VALID),
+            "n_tracked": n_ok,
+            "median_disparity": med_disp,
+            "pim": pim,
+            "measurements": kf_meas,
+            "stamp": stamp,
+            **kf_extras,
+        }
+        return new_state, outputs
+
+    # ------------------------------------------------------------------
+    def _keyframe_branch(
+        self, state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp
+    ):
+        cfg = self.cfg
+        right_rect = remap_bilinear(right_img, self.map_right)
+
+        # 5. Mono RANSAC on lkf<->cur bearing correspondences.
+        f_ref = state.lkf_features.versors
+        f_cur = cur_feats.versors
+        pair_mask = cur_feats.mask & state.lkf_features.mask
+        key = jax.random.fold_in(jax.random.PRNGKey(0), state.frame_count)
+        if cfg.use_2point_mono:
+            _, mono_inl, n_mono = ransac.ransac_2pt_mono(
+                f_ref, f_cur, pair_mask, R_cam, key,
+                n_hyp=cfg.n_hyp_mono, threshold=cfg.ransac_threshold_mono,
+            )
+        else:
+            _, _, mono_inl, n_mono = ransac.ransac_5pt_mono(
+                f_ref, f_cur, pair_mask, key,
+                n_hyp=cfg.n_hyp_mono, threshold=cfg.ransac_threshold_mono,
+            )
+        feats_inl = cur_feats.replace(
+            mask=cur_feats.mask & (mono_inl | ~pair_mask)
+        )
+
+        # 6. Sparse stereo on the tracked inliers.
+        meas_tracked, _ = self._stereo_measurements(
+            left_rect, right_rect, feats_inl
+        )
+
+        # 7. Stereo RANSAC: 1-pt voting given rotation on 3D-3D pairs
+        # between the last keyframe and now (needs lkf stereo depths; we
+        # use the backend's triangulations in the pipeline — here the
+        # voting runs on instantaneous stereo backprojections).
+        p_cur = self.stereo.backproject_rect(meas_tracked.uvs)
+        # lkf 3D points from stored lkf measurements.
+        p_ref = self.stereo.backproject_rect(state.lkf_uvd)
+        both = meas_tracked.mask & state.lkf_uvd_mask
+        cov_cur = ransac.stereo_point_cov_from_rect(
+            self.stereo.fx, self.stereo.fy, self.stereo.cx, self.stereo.cy,
+            self.stereo.baseline, meas_tracked.uvs, cfg.pixel_sigma,
+        )
+        cov_ref = ransac.stereo_point_cov_from_rect(
+            self.stereo.fx, self.stereo.fy, self.stereo.cx, self.stereo.cy,
+            self.stereo.baseline, state.lkf_uvd, cfg.pixel_sigma,
+        )
+        t_vote, stereo_inl, n_stereo = ransac.voting_1pt_stereo(
+            p_ref, p_cur, cov_ref, cov_cur, both, R_cam,
+            threshold=cfg.ransac_threshold_stereo,
+        )
+        meas_final = meas_tracked.replace(
+            mask=meas_tracked.mask & (stereo_inl | ~both)
+        )
+
+        # 8. Re-detect features to refill capacity.
+        uv_new, new_valid = det.detect_features(
+            left_rect,
+            feats_inl.uv_rect,
+            feats_inl.mask,
+            cfg.max_features,
+            quality_level=cfg.quality_level,
+            min_distance=cfg.min_distance,
+            nr_horizontal_bins=cfg.nr_horizontal_bins,
+            nr_vertical_bins=cfg.nr_vertical_bins,
+            do_subpixel=cfg.do_subpixel,
+        )
+        feats_full, next_id = self._merge_detections(
+            feats_inl, uv_new, new_valid, state.next_id
+        )
+
+        # Stereo measurements for the refilled set (new features need uR).
+        meas_out, _ = self._stereo_measurements(left_rect, right_rect, feats_full)
+
+        grads = tuple(of._grad(p) for p in cur_pyr)
+        kf_state = state.replace(
+            features=feats_full,
+            lkf_features=feats_full,
+            lkf_uvd=meas_out.uvs,
+            lkf_uvd_mask=meas_out.mask,
+            lkf_pyramid=_stack_pyr(cur_pyr),
+            cur_pyramid=_stack_pyr(cur_pyr),
+            lkf_grads=grads,
+            pim=imu.Pim.zero(state.imu_bias),
+            lkf_stamp=stamp,
+            next_id=next_id,
+            frame_count=state.frame_count + 1,
+            kf_count=state.kf_count + 1,
+        )
+        extras = {
+            "n_mono_inliers": n_mono,
+            "n_stereo_inliers": n_stereo,
+            "t_stereo_vote": t_vote,
+        }
+        return kf_state, meas_out, extras
+
+    # ------------------------------------------------------------------
+    def _merge_detections(self, feats, uv_new, new_valid, next_id):
+        """Fill empty slots with new detections; age surviving tracks."""
+        cfg = self.cfg
+        N = cfg.max_features
+        free = ~feats.mask
+        # Rank new detections into free slots.
+        free_slots = jnp.argsort(~free)  # free first
+        rank = jnp.cumsum(new_valid) - 1
+        can = new_valid & (rank < free.sum())
+        slot = jnp.where(can, free_slots[jnp.clip(rank, 0, N - 1)], N)
+        new_ids = next_id + rank.astype(jnp.int32)
+        uv = feats.uv_rect.at[slot].set(uv_new, mode="drop")
+        ids = feats.ids.at[slot].set(jnp.where(can, new_ids, -1), mode="drop")
+        ages = feats.ages.at[slot].set(0, mode="drop")
+        mask = feats.mask.at[slot].set(True, mode="drop")
+        out = TrackedFeatures(
+            uv=uv,
+            uv_rect=uv,
+            versors=self._versors_from_rect(uv),
+            ids=ids,
+            ages=jnp.where(mask, ages + 1, ages),
+            mask=mask,
+        )
+        return out, next_id + can.sum().astype(jnp.int32)

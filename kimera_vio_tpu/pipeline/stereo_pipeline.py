@@ -1,0 +1,278 @@
+"""StereoImuPipeline: full wiring of dataprovider -> frontend -> backend.
+
+TPU-native rebuild of the reference StereoImuPipeline
+(src/pipeline/StereoImuPipeline.cpp:39-254) and the Pipeline spin logic
+(src/pipeline/Pipeline.cpp): the module/queue/thread machinery becomes a
+host driver loop invoking two jitted device programs (frontend per frame,
+backend per keyframe), per SURVEY.md §2.2's TPU mapping.
+
+Modes:
+  * sequential (parallel_run=False): frame -> frontend -> (keyframe?) ->
+    backend, one at a time — deterministic, the testing anchor
+    (reference Pipeline.cpp:197-215);
+  * parallel (parallel_run=True): the frontend for frame k+1 is dispatched
+    before the backend result of keyframe k is awaited — JAX async dispatch
+    gives the same overlap the reference gets from its frontend/backend
+    threads (Pipeline.cpp:329-358) without host threads.
+
+Bias feedback: the backend's optimized IMU bias is pushed back into the
+frontend state after every keyframe, like the reference's
+imu_bias_update_callback (StereoImuPipeline.cpp:141-145).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kimera_vio_tpu.backend import smoother as sm
+from kimera_vio_tpu.common import geometry as geo
+from kimera_vio_tpu.common.types import ImuBias, NavState
+from kimera_vio_tpu.config.params import VioParams
+from kimera_vio_tpu.dataprovider.euroc import EurocDataProvider
+from kimera_vio_tpu.frontend import imu_frontend as imu
+from kimera_vio_tpu.frontend.camera import StereoCamera
+from kimera_vio_tpu.frontend.vision_frontend import (
+    FrontendConfig,
+    StereoFrontend,
+)
+from kimera_vio_tpu.utils.logger import BackendLogger, FrontendLogger
+from kimera_vio_tpu.utils.stats import StatsCollector
+
+
+@dataclass
+class PipelineOutput:
+    stamps_ns: list = field(default_factory=list)
+    positions: list = field(default_factory=list)
+    quats_wxyz: list = field(default_factory=list)
+    velocities: list = field(default_factory=list)
+    biases: list = field(default_factory=list)
+    n_keyframes: int = 0
+    n_frames: int = 0
+
+
+class StereoImuPipeline:
+    """End-to-end stereo-inertial VIO on one TPU chip."""
+
+    def __init__(
+        self,
+        params: VioParams,
+        output_path: str | None = None,
+        parallel_run: bool | None = None,
+    ):
+        self.params = params
+        self.stereo = StereoCamera.from_params(params.left_cam, params.right_cam)
+        self.frontend_cfg = FrontendConfig.from_params(
+            params.frontend, max_features=params.max_features
+        )
+        self.pim_params = imu.PimParams.from_params(params.imu)
+        self.frontend = StereoFrontend(
+            self.frontend_cfg, self.stereo, self.pim_params
+        )
+        self.backend_cfg = sm.BackendConfig.from_params(
+            params.backend, params.imu, self.stereo,
+            max_landmarks=params.max_landmarks,
+        )
+        self.parallel_run = (
+            params.pipeline.parallel_run if parallel_run is None else parallel_run
+        )
+        self._backend_step = jax.jit(
+            lambda w, l, pim, stamp, ids, uvs, mask, status: sm.backend_step(
+                self.backend_cfg, w, l, pim=pim, stamp=stamp, meas_ids=ids,
+                meas_uvd=uvs, meas_mask=mask, status=status,
+            )
+        )
+        self.logger = BackendLogger(output_path) if output_path else None
+        self.frontend_logger = FrontendLogger(output_path) if output_path else None
+        self.stats = StatsCollector()
+
+    # ------------------------------------------------------------------
+    def _bootstrap_state(self, provider: EurocDataProvider, stamp_ns: int, first_imu):
+        """Initial VioNavState: ground truth if available (reference
+        autoInitialize=0 default) else IMU attitude (InitializationFromImu,
+        src/initial/InitializationFromImu.cpp)."""
+        if provider.ground_truth is not None and not self.params.backend.auto_initialize:
+            gt = provider.ground_truth.state_at(stamp_ns)
+            R = np.asarray(
+                geo.quat_to_rot(jnp.asarray(gt["quat_wxyz"], jnp.float32))
+            )
+            return (
+                NavState(
+                    rot=jnp.asarray(R),
+                    pos=jnp.asarray(gt["position"], jnp.float32),
+                    vel=jnp.asarray(gt["velocity"], jnp.float32),
+                ),
+                jnp.asarray(
+                    np.concatenate([gt["accel_bias"], gt["gyro_bias"]]),
+                    jnp.float32,
+                ),
+            )
+        # IMU attitude init: mean accel ~ -gravity in body frame.
+        if first_imu is not None:
+            acc = np.asarray(first_imu.acc)[np.asarray(first_imu.mask)]
+        else:
+            # First frame carries no block; average the earliest samples
+            # (InitializationFromImu averages an initial window).
+            acc = provider.imu_sync.acc[:50]
+        g_body = acc.mean(0)
+        g_body = g_body / np.linalg.norm(g_body)
+        g_world = -np.asarray(self.params.imu.n_gravity)
+        g_world = g_world / np.linalg.norm(g_world)
+        # Rotation taking body gravity direction to world gravity direction.
+        v = np.cross(g_body, g_world)
+        c = float(np.dot(g_body, g_world))
+        s = np.linalg.norm(v)
+        if s < 1e-8:
+            R = np.eye(3)
+        else:
+            axis = v / s
+            R = np.asarray(
+                geo.so3_exp(jnp.asarray(axis * np.arctan2(s, c), jnp.float32))
+            )
+        return (
+            NavState(
+                rot=jnp.asarray(R, jnp.float32),
+                pos=jnp.zeros(3),
+                vel=jnp.zeros(3),
+            ),
+            jnp.zeros(6),
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, provider: EurocDataProvider, verbose: bool = False) -> PipelineOutput:
+        out = PipelineOutput()
+        K = self.backend_cfg.nr_states
+        L = self.backend_cfg.max_landmarks
+        win = sm.Window.empty(K)
+        lmk = sm.LandmarkTable.empty(L, K)
+        fe_state = None
+        t0_ns = None
+        pending = None  # (stamp_ns, backend-output) awaiting host readback
+
+        for packet in provider.frames():
+            stamp_ns = packet["stamp_ns"]
+            if t0_ns is None:
+                t0_ns = stamp_ns
+            stamp_s = (stamp_ns - t0_ns) * 1e-9
+
+            left = jnp.asarray(provider.load_image(packet["left_path"]))
+            right = jnp.asarray(provider.load_image(packet["right_path"]))
+
+            if fe_state is None:
+                tic = time.perf_counter()
+                fe_state, meas0 = self.frontend.init_state(left, right, stamp_s)
+                nav0, bias0 = self._bootstrap_state(
+                    provider, stamp_ns, packet["imu"]
+                )
+                fe_state = fe_state.replace(
+                    imu_bias=ImuBias(accel=bias0[0:3], gyro=bias0[3:6])
+                )
+                win = sm.bootstrap(cfg=self.backend_cfg, win=win, nav=nav0,
+                                   bias=bias0, stamp=jnp.float32(stamp_s))
+                lmk = sm.update_landmarks(
+                    lmk, meas0.ids, meas0.uvs, meas0.mask, jnp.int32(0)
+                )
+                self._record(out, stamp_ns, win, slot=0)
+                out.n_keyframes += 1
+                out.n_frames += 1
+                self.stats.add("bootstrap [ms]", (time.perf_counter() - tic) * 1e3)
+                continue
+
+            if packet["imu"] is None:
+                continue
+            imu_block = jax.tree.map(jnp.asarray, packet["imu"])
+
+            tic = time.perf_counter()
+            fe_state, fe_out = self.frontend.process_frame(
+                fe_state, left, right, imu_block, stamp_s
+            )
+            is_kf = bool(fe_out["is_keyframe"])  # host sync point
+            self.stats.add("frontend [ms]", (time.perf_counter() - tic) * 1e3)
+            out.n_frames += 1
+
+            if self.frontend_logger:
+                self.frontend_logger.log(
+                    stamp_ns, is_kf, int(fe_out["n_tracked"]),
+                    float(fe_out["median_disparity"]),
+                    int(fe_out["n_mono_inliers"]),
+                    int(fe_out["n_stereo_inliers"]),
+                    (time.perf_counter() - tic) * 1e3,
+                )
+
+            if not is_kf:
+                continue
+
+            # --- keyframe: backend update ---
+            tic = time.perf_counter()
+            meas = fe_out["measurements"]
+            win, lmk, bout = self._backend_step(
+                win, lmk, fe_out["pim"], jnp.float32(stamp_s),
+                meas.ids, meas.uvs, meas.mask,
+                jnp.int32(int(fe_out["status"])),
+            )
+            # Bias feedback to the frontend (reference bias callback).
+            fe_state = fe_state.replace(
+                imu_bias=ImuBias(
+                    accel=bout["bias"][0:3], gyro=bout["bias"][3:6]
+                ),
+                pim=imu.Pim.zero(
+                    ImuBias(accel=bout["bias"][0:3], gyro=bout["bias"][3:6])
+                ),
+            )
+            out.n_keyframes += 1
+            if self.parallel_run:
+                # Async dispatch: record previous keyframe now, fetch this
+                # one next iteration (device works while host loads images).
+                if pending is not None:
+                    self._record_out(out, *pending)
+                pending = (stamp_ns, bout)
+            else:
+                jax.block_until_ready(bout["pos"])
+                self._record_out(out, stamp_ns, bout)
+            self.stats.add("backend [ms]", (time.perf_counter() - tic) * 1e3)
+            if self.logger:
+                self.logger.log_timing(stamp_ns, (time.perf_counter() - tic) * 1e3)
+
+            if verbose and out.n_keyframes % 10 == 0:
+                print(
+                    f"kf {out.n_keyframes} frame {out.n_frames} "
+                    f"pos {np.asarray(bout['pos'])}"
+                )
+
+        if pending is not None:
+            self._record_out(out, *pending)
+        if self.logger:
+            self.logger.close()
+        if self.frontend_logger:
+            self.frontend_logger.close()
+        return out
+
+    # ------------------------------------------------------------------
+    def _record(self, out, stamp_ns, win, slot):
+        q = geo.rot_to_quat(win.rot[slot])
+        self._record_raw(
+            out, stamp_ns, np.asarray(win.pos[slot]), np.asarray(q),
+            np.asarray(win.vel[slot]), np.asarray(win.bias[slot]),
+        )
+
+    def _record_out(self, out, stamp_ns, bout):
+        q = geo.rot_to_quat(bout["rot"])
+        self._record_raw(
+            out, stamp_ns, np.asarray(bout["pos"]), np.asarray(q),
+            np.asarray(bout["vel"]), np.asarray(bout["bias"]),
+        )
+
+    def _record_raw(self, out, stamp_ns, pos, quat, vel, bias):
+        out.stamps_ns.append(stamp_ns)
+        out.positions.append(pos)
+        out.quats_wxyz.append(quat)
+        out.velocities.append(vel)
+        out.biases.append(bias)
+        if self.logger:
+            self.logger.log_state(
+                stamp_ns, pos, quat, vel, bias[3:6], bias[0:3]
+            )
