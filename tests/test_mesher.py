@@ -1,0 +1,83 @@
+"""Mesher tests: Delaunay lift, bad-triangle filtering, horizon
+maintenance, plane segmentation on synthetic geometry."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from kimera_vio_tpu.mesher import mesher as M
+
+
+def grid_scene(nx=8, ny=6, z=2.0, spacing=0.3):
+    """A horizontal plane of landmarks at height z + projected pixels."""
+    xs, ys = np.meshgrid(np.arange(nx) * spacing, np.arange(ny) * spacing)
+    pts = np.stack([xs.ravel(), ys.ravel(), np.full(nx * ny, z)], -1).astype(
+        np.float32
+    )
+    ids = np.arange(nx * ny, dtype=np.int32)
+    uv = (pts[:, :2] * 100).astype(np.float32)  # fake image coords
+    return uv, ids, pts
+
+
+def test_mesh_construction_and_filtering():
+    uv, ids, pts = grid_scene()
+    mesher = M.Mesher(max_triangle_side=1.0)
+    mesh = mesher.spin_once(uv, ids, ids, pts, np.ones(len(ids), bool))
+    assert mesh.n_triangles > 30
+    # All triangles lie on the z=2 plane.
+    np.testing.assert_allclose(mesh.vertices[..., 2], 2.0, atol=1e-5)
+
+
+def test_bad_triangle_filter():
+    # One equilateral-ish triangle, one needle, one oversized.
+    verts = jnp.asarray(
+        np.array(
+            [
+                [[0, 0, 0], [0.3, 0, 0], [0.15, 0.26, 0]],  # good
+                [[0, 0, 0], [0.5, 0, 0], [0.25, 0.001, 0]],  # needle
+                [[0, 0, 0], [2.0, 0, 0], [1.0, 1.7, 0]],  # too big
+            ],
+            np.float32,
+        )
+    )
+    keep = np.asarray(M.filter_triangles(verts, max_triangle_side=0.5))
+    assert keep.tolist() == [True, False, False]
+
+
+def test_horizon_eviction():
+    uv, ids, pts = grid_scene()
+    mesher = M.Mesher(max_triangle_side=1.0)
+    mesher.spin_once(uv, ids, ids, pts, np.ones(len(ids), bool))
+    n1 = mesher.horizon_mesh().n_triangles
+    # Evict all but the first 10 landmark ids.
+    mesh2 = mesher.spin_once(
+        uv[:3], ids[:3], ids, pts, np.ones(len(ids), bool),
+        horizon_ids=set(range(10)),
+    )
+    assert mesh2.n_triangles < n1
+
+
+def test_plane_segmentation_horizontal():
+    uv, ids, pts = grid_scene(z=1.5)
+    mesher = M.Mesher(max_triangle_side=1.0)
+    mesh = mesher.spin_once(uv, ids, ids, pts, np.ones(len(ids), bool))
+    planes = mesher.segment_planes(mesh)
+    horiz = [p for p in planes if p["type"] == "horizontal"]
+    assert len(horiz) >= 1
+    assert abs(horiz[0]["d"] - 1.5) < 0.1
+    np.testing.assert_allclose(np.abs(horiz[0]["normal"]), [0, 0, 1], atol=1e-5)
+
+
+def test_plane_segmentation_wall():
+    # Vertical wall: landmarks on the x=1.0 plane.
+    ys, zs = np.meshgrid(np.arange(8) * 0.3, np.arange(6) * 0.3)
+    pts = np.stack([np.full(48, 1.0), ys.ravel(), zs.ravel()], -1).astype(np.float32)
+    ids = np.arange(48, dtype=np.int32)
+    uv = np.stack([pts[:, 1], pts[:, 2]], -1) * 100
+    mesher = M.Mesher(max_triangle_side=1.0)
+    mesh = mesher.spin_once(uv.astype(np.float32), ids, ids, pts, np.ones(48, bool))
+    planes = mesher.segment_planes(mesh)
+    walls = [p for p in planes if p["type"] == "wall"]
+    assert len(walls) >= 1
+    n = walls[0]["normal"]
+    assert abs(abs(n[0]) - 1.0) < 0.15, n  # normal ~ +-x
+    assert abs(abs(walls[0]["d"]) - 1.0) < 0.15
