@@ -395,11 +395,21 @@ def _smart_factor_blocks(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
         E = jax.jacfwd(lambda d: obs_residual(z6, d, Rk, pk, meas, point))(z3)
         return r, F, E
 
+    # Mono observations carry uR = NaN: mask their uR residual row.
+    stereo_ok = jnp.isfinite(lmk.obs_uvd[..., 1])
+    obs_uvd_safe = lmk.obs_uvd.at[..., 1].set(
+        jnp.where(stereo_ok, lmk.obs_uvd[..., 1], lmk.obs_uvd[..., 0])
+    )
     per_lmk = jax.vmap(
         jax.vmap(per_obs, in_axes=(0, 0, 0, None)), in_axes=(None, None, 0, 0)
     )
-    r, F, E = per_lmk(win.rot, win.pos, lmk.obs_uvd, pts)
+    r, F, E = per_lmk(win.rot, win.pos, obs_uvd_safe, pts)
     # r: (L,K,3), F: (L,K,3,6), E: (L,K,3,3)
+    row_ok = stereo_ok[..., None].astype(r.dtype) * jnp.ones((1, 1, 3), r.dtype)
+    row_ok = row_ok.at[..., 0].set(1.0).at[..., 2].set(1.0)
+    r = r * row_ok
+    F = F * row_ok[..., None]
+    E = E * row_ok[..., None]
 
     # Huber weights on the whitened 3-vector residual norm.
     rn = jnp.linalg.norm(r, axis=-1)

@@ -113,8 +113,9 @@ def _integrate_step(params: PimParams, carry: Pim, sample) -> tuple[Pim, None]:
     A = jnp.zeros((9, 9), pim.cov.dtype)
     A = A.at[0:3, 0:3].set(dR_inc.T)
     Ra_hat = geo.hat(Ra)
-    A = A.at[3:6, 0:3].set(-Ra_hat * dt)
-    A = A.at[6:9, 0:3].set(-0.5 * Ra_hat * dt * dt)
+    Rhat_a = R_k @ geo.hat(a)  # = hat(R a) R (Forster eq. 63: -DR hat(a) dt)
+    A = A.at[3:6, 0:3].set(-Rhat_a * dt)
+    A = A.at[6:9, 0:3].set(-0.5 * Rhat_a * dt * dt)
     A = A.at[3:6, 3:6].set(jnp.eye(3))
     A = A.at[6:9, 3:6].set(jnp.eye(3) * dt)
     A = A.at[6:9, 6:9].set(jnp.eye(3))
@@ -171,6 +172,187 @@ def _integrate_step(params: PimParams, carry: Pim, sample) -> tuple[Pim, None]:
     return out, None
 
 
+def preintegrate_sequential(
+    params: PimParams,
+    block: ImuBlock,
+    bias: ImuBias,
+    init: Pim | None = None,
+) -> Pim:
+    """Reference-shaped sequential preintegration (lax.scan over samples).
+    Kept as the semantic oracle for `preintegrate` (see tests)."""
+    pim0 = init if init is not None else Pim.zero(bias)
+    dt = jnp.where(block.mask, block.dt, 0.0)
+    pim, _ = jax.lax.scan(
+        partial(_integrate_step, params), pim0, (block.acc, block.gyr, dt)
+    )
+    return pim
+
+
+def _compose_pim(params: PimParams, p1: Pim, p2: Pim) -> Pim:
+    """Compose two consecutive preintegrations (same bias_hat): the result
+    equals integrating both sample blocks in order. Used to continue the
+    inter-keyframe accumulation across frames."""
+    R1, v1, pp1, t1 = p1.delta_R, p1.delta_v, p1.delta_p, p1.delta_t
+    R2, v2, pp2, t2 = p2.delta_R, p2.delta_v, p2.delta_p, p2.delta_t
+    delta_R = R1 @ R2
+    delta_v = v1 + (R1 @ v2[..., None])[..., 0]
+    delta_p = pp1 + v1 * t2 + (R1 @ pp2[..., None])[..., 0]
+    # Covariance: with right-perturbation errors (X~ = X Exp(e) / x + e):
+    #   dtheta = R2^T dtheta1 + dtheta2
+    #   dv     = dv1 - R1 hat(v2) dtheta1 + R1 dv2
+    #   dp     = dp1 + dv1 t2 - R1 hat(p2) dtheta1 + R1 dp2
+    eye3 = jnp.eye(3, dtype=R1.dtype)
+    A = jnp.zeros((9, 9), R1.dtype)
+    A = A.at[0:3, 0:3].set(R2.T)
+    A = A.at[3:6, 0:3].set(-R1 @ geo.hat(v2))
+    A = A.at[3:6, 3:6].set(eye3)
+    A = A.at[6:9, 0:3].set(-R1 @ geo.hat(pp2))
+    A = A.at[6:9, 3:6].set(eye3 * t2)
+    A = A.at[6:9, 6:9].set(eye3)
+    B1 = jnp.zeros((9, 9), R1.dtype)
+    B1 = B1.at[0:3, 0:3].set(eye3)
+    B1 = B1.at[3:6, 3:6].set(R1)
+    B1 = B1.at[6:9, 6:9].set(R1)
+    cov = A @ p1.cov @ A.T + B1 @ p2.cov @ B1.T
+    # Bias Jacobians compose exactly (chain rule on the three equations):
+    dR_dbg = R2.T @ p1.dR_dbg + p2.dR_dbg
+    dv_dba = p1.dv_dba + R1 @ p2.dv_dba
+    dv_dbg = (
+        p1.dv_dbg
+        - R1 @ geo.hat(v2) @ p1.dR_dbg
+        + R1 @ p2.dv_dbg
+    )
+    dp_dba = p1.dp_dba + p1.dv_dba * t2 + R1 @ p2.dp_dba
+    dp_dbg = (
+        p1.dp_dbg
+        + p1.dv_dbg * t2
+        - R1 @ geo.hat(pp2) @ p1.dR_dbg
+        + R1 @ p2.dp_dbg
+    )
+    return Pim(
+        delta_R=delta_R,
+        delta_v=delta_v,
+        delta_p=delta_p,
+        delta_t=t1 + t2,
+        cov=cov,
+        dR_dbg=dR_dbg,
+        dv_dba=dv_dba,
+        dv_dbg=dv_dbg,
+        dp_dba=dp_dba,
+        dp_dbg=dp_dbg,
+        bias_hat=p1.bias_hat,
+    )
+
+
+def preintegrate_parallel(
+    params: PimParams, block: ImuBlock, bias: ImuBias
+) -> Pim:
+    """Log-depth preintegration of one block — the TPU-native formulation.
+
+    The sequential Forster recursion is restructured into
+      * prefix rotation products via `lax.associative_scan` (log depth),
+      * closed-form reordered sums for delta_v / delta_p and all five bias
+        Jacobians (each one einsum over the samples),
+      * a suffix `associative_scan` of the 9x9 error-state transitions for
+        the covariance.
+    Matches `preintegrate_sequential` to float32 accuracy (see tests) while
+    replacing n sequential small-kernel steps with ~log2(n) batched ones.
+    """
+    n = block.acc.shape[0]
+    dt = jnp.where(block.mask, block.dt, 0.0)  # (n,)
+    a = block.acc - bias.accel
+    w = block.gyr - bias.gyro
+
+    dR_inc = geo.so3_exp(w * dt[:, None])  # (n,3,3)
+    Jr = geo.so3_right_jacobian(w * dt[:, None])
+
+    # Inclusive prefix products S_k = dR_0 ... dR_k.
+    S = jax.lax.associative_scan(jnp.matmul, dR_inc)  # (n,3,3)
+    eye = jnp.eye(3, dtype=a.dtype)
+    # Exclusive prefixes R_k = S_{k-1}, R_0 = I.
+    R = jnp.concatenate([eye[None], S[:-1]], axis=0)  # (n,3,3)
+
+    t = jnp.concatenate([jnp.zeros(1, dt.dtype), jnp.cumsum(dt)[:-1]])  # t_k
+    T = jnp.sum(dt)
+    Ra = jnp.einsum("kij,kj->ki", R, a)  # (n,3)
+
+    delta_R = S[-1]
+    delta_v = jnp.einsum("ki,k->i", Ra, dt)
+    delta_p = jnp.einsum("ki,k->i", Ra, dt * (T - t - 0.5 * dt))
+
+    # ---- bias Jacobians (reordered sums; see derivation in comments) ----
+    # dR_dbg = -S_{n-1}^T sum_j S_j Jr_j dt_j
+    SJr = jnp.einsum("kij,kjl->kil", S, Jr)
+    dR_dbg = -delta_R.T @ jnp.einsum("kil,k->il", SJr, dt)
+    # dv_dba = -sum_j R_j dt_j ; dp_dba = -sum_j R_j dt_j (T - t_j - dt_j/2)
+    dv_dba = -jnp.einsum("kij,k->ij", R, dt)
+    dp_dba = -jnp.einsum("kij,k->ij", R, dt * (T - t - 0.5 * dt))
+    # Prefix bias Jacobian dR_dbg_k = -S_{k-1}^T P_k, P_k = sum_{j<k} S_j Jr_j dt_j
+    P_incl = jnp.cumsum(SJr * dt[:, None, None], axis=0)
+    P_excl = jnp.concatenate([jnp.zeros((1, 3, 3), a.dtype), P_incl[:-1]])
+    dR_dbg_k = -jnp.einsum("kji,kjl->kil", R, P_excl)  # R_k = S_{k-1}
+    hat_Ra = geo.hat(Ra)
+    # dv_dbg = sum_k -hat(R_k a_k) dR_dbg_k dt_k
+    HdR = jnp.einsum("kij,kjl->kil", hat_Ra, dR_dbg_k)
+    dv_dbg = -jnp.einsum("kil,k->il", HdR, dt)
+    # dp_dbg = sum_k -hat_k dR_dbg_k dt_k (T - t_k - dt_k/2)
+    dp_dbg = -jnp.einsum("kil,k->il", HdR, dt * (T - t - 0.5 * dt))
+
+    # ---- covariance: suffix products of the 9x9 transitions -------------
+    A = jnp.zeros((n, 9, 9), a.dtype)
+    A = A.at[:, 0:3, 0:3].set(jnp.swapaxes(dR_inc, -1, -2))
+    Rhat_a = jnp.einsum("kij,kjl->kil", R, geo.hat(a))
+    A = A.at[:, 3:6, 0:3].set(-Rhat_a * dt[:, None, None])
+    A = A.at[:, 6:9, 0:3].set(-0.5 * Rhat_a * (dt**2)[:, None, None])
+    A = A.at[:, 3:6, 3:6].set(eye)
+    A = A.at[:, 6:9, 3:6].set(eye * dt[:, None, None])
+    A = A.at[:, 6:9, 6:9].set(eye)
+    # Masked samples must be identity transitions.
+    A = jnp.where(block.mask[:, None, None], A, jnp.eye(9, dtype=a.dtype))
+
+    # Per-sample process noise (as in the sequential step).
+    safe_dt = jnp.maximum(dt, 1e-12)
+    gyro_cov = params.gyro_noise_density**2 / safe_dt
+    acc_cov = params.acc_noise_density**2 / safe_dt
+    int_cov = params.integration_sigma**2 * safe_dt
+    Bg = jnp.zeros((n, 9, 3), a.dtype).at[:, 0:3, :].set(Jr * dt[:, None, None])
+    Ba = (
+        jnp.zeros((n, 9, 3), a.dtype)
+        .at[:, 3:6, :]
+        .set(R * dt[:, None, None])
+        .at[:, 6:9, :]
+        .set(0.5 * R * (dt**2)[:, None, None])
+    )
+    Q = (
+        gyro_cov[:, None, None] * jnp.einsum("kij,klj->kil", Bg, Bg)
+        + acc_cov[:, None, None] * jnp.einsum("kij,klj->kil", Ba, Ba)
+    )
+    Q = Q.at[:, 6:9, 6:9].add(int_cov[:, None, None] * eye)
+    Q = jnp.where(block.mask[:, None, None], Q, 0.0)
+
+    # Suffix products M_k = A_{n-1} ... A_{k+1} (M_{n-1} = I):
+    # reverse, inclusive-scan, shift.
+    A_rev = jnp.flip(A, axis=0)
+    S9 = jax.lax.associative_scan(jnp.matmul, A_rev)  # S9_m = A_{n-1}..A_{n-1-m}
+    M_incl = jnp.flip(S9, axis=0)  # M_incl_k = A_{n-1} ... A_k
+    M = jnp.concatenate([M_incl[1:], jnp.eye(9, dtype=a.dtype)[None]], axis=0)
+    cov = jnp.einsum("kij,kjl,kml->im", M, Q, M)
+
+    return Pim(
+        delta_R=delta_R,
+        delta_v=delta_v,
+        delta_p=delta_p,
+        delta_t=T,
+        cov=cov,
+        dR_dbg=dR_dbg,
+        dv_dba=dv_dba,
+        dv_dbg=dv_dbg,
+        dp_dba=dp_dba,
+        dp_dbg=dp_dbg,
+        bias_hat=bias,
+    )
+
+
 def preintegrate(
     params: PimParams,
     block: ImuBlock,
@@ -183,14 +365,13 @@ def preintegrate(
     (src/imu-frontend/ImuFrontend.cpp:158-197). Passing `init` continues an
     inter-keyframe accumulation across frames (the reference keeps one PIM
     object alive and resets it on keyframes,
-    StereoVisionImuFrontend.cpp:201).
+    StereoVisionImuFrontend.cpp:201). Uses the log-depth parallel
+    formulation; the new block's PIM is composed onto `init` in closed form.
     """
-    pim0 = init if init is not None else Pim.zero(bias)
-    dt = jnp.where(block.mask, block.dt, 0.0)
-    pim, _ = jax.lax.scan(
-        partial(_integrate_step, params), pim0, (block.acc, block.gyr, dt)
-    )
-    return pim
+    pim_block = preintegrate_parallel(params, block, bias)
+    if init is None:
+        return pim_block
+    return _compose_pim(params, init, pim_block)
 
 
 def preintegrate_gyro(block: ImuBlock, gyro_bias: jax.Array) -> jax.Array:

@@ -74,6 +74,11 @@ def triangulate_stereo_landmarks(
     """
     L, K, _ = obs_uvd.shape
     uL, uR, v = obs_uvd[..., 0], obs_uvd[..., 1], obs_uvd[..., 2]
+    # Mono measurements carry uR = NaN (reference convention,
+    # MonoVisionImuFrontend.cpp:230-340): their right ray is masked out and
+    # the NaN replaced to keep arithmetic clean.
+    stereo_ok = jnp.isfinite(uR)
+    uR = jnp.where(stereo_ok, uR, uL)
 
     # Ray directions in the rectified camera frame.
     def cam_ray(u, vv):
@@ -93,7 +98,7 @@ def triangulate_stereo_landmarks(
 
     origins = jnp.concatenate([o_left, o_right], axis=1)  # (L, 2K, 3)
     dirs = jnp.concatenate([dw_left, dw_right], axis=1)
-    mask2 = jnp.concatenate([obs_mask, obs_mask], axis=1)
+    mask2 = jnp.concatenate([obs_mask, obs_mask & stereo_ok], axis=1)
 
     p, ok, min_eig = triangulate_rays(origins, dirs, mask2)
 
@@ -122,10 +127,14 @@ def triangulate_stereo_landmarks(
             return pred - meas
 
         def one(pt, uvd_l, m_l):
+            fin = jnp.isfinite(uvd_l[:, 1])
+            uvd_safe = uvd_l.at[:, 1].set(jnp.where(fin, uvd_l[:, 1], uvd_l[:, 0]))
+
             def res_all(p):
                 r = jax.vmap(point_residual, in_axes=(None, 0, 0, 0))(
-                    p, R_w_cam, t_w_cam, uvd_l
+                    p, R_w_cam, t_w_cam, uvd_safe
                 )  # (K,3)
+                r = r.at[:, 1].set(jnp.where(fin, r[:, 1], 0.0))
                 return jnp.where(m_l[:, None], r, 0.0).reshape(-1)
 
             r = res_all(pt)
@@ -141,7 +150,9 @@ def triangulate_stereo_landmarks(
 
     # --- degeneracy / outlier gates ----------------------------------------
     pred, depth = reproject(p)
-    err = jnp.linalg.norm(pred - obs_uvd, axis=-1)
+    diff = pred - obs_uvd
+    diff = diff.at[..., 1].set(jnp.where(stereo_ok, diff[..., 1], 0.0))
+    err = jnp.linalg.norm(diff, axis=-1)
     err = jnp.where(obs_mask, err, 0.0)
     n_obs = jnp.maximum(obs_mask.sum(-1), 1)
     mean_err = err.sum(-1) / n_obs

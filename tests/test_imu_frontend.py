@@ -202,3 +202,26 @@ def test_gyro_only_preintegration():
     R = imu.preintegrate_gyro(block, jnp.zeros(3))
     expected = geo.so3_exp(jnp.asarray(w, jnp.float32) * n * dt)
     np.testing.assert_allclose(np.asarray(R), np.asarray(expected), atol=1e-4)
+
+
+def test_parallel_matches_sequential_oracle():
+    """The log-depth parallel formulation must reproduce the sequential
+    scan (covariance and bias Jacobians included)."""
+    rng = np.random.default_rng(9)
+    n = 37
+    acc = rng.normal(0, 3, (n, 3))
+    gyr = rng.normal(0, 0.6, (n, 3))
+    dts = rng.uniform(0.004, 0.006, n)
+    block = make_block(acc, gyr, dts, n_pad=27)
+    bias = ImuBias(accel=jnp.array([0.05, -0.02, 0.01]), gyro=jnp.array([0.01, 0.02, -0.01]))
+    seq = imu.preintegrate_sequential(PARAMS, block, bias)
+    par = imu.preintegrate_parallel(PARAMS, block, bias)
+    for f in ["delta_R", "delta_v", "delta_p", "delta_t",
+              "dR_dbg", "dv_dba", "dv_dbg", "dp_dba", "dp_dbg"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(par, f)), np.asarray(getattr(seq, f)),
+            atol=2e-5, err_msg=f,
+        )
+    np.testing.assert_allclose(
+        np.asarray(par.cov), np.asarray(seq.cov), rtol=2e-3, atol=1e-10
+    )
