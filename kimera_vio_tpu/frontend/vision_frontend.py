@@ -346,26 +346,49 @@ class StereoFrontend:
             jnp.where(too_few, TRACKING_FEW_MATCHES, TRACKING_VALID),
         )
 
-        # --- keyframe branch (computed unconditionally; selected at end —
-        # the detector+matcher dominate and only run usefully on keyframes,
-        # but a lax.cond on traced `is_keyframe` would still compile both
-        # paths; we instead gate state updates with `where`) ---
-        kf_state, kf_meas, kf_extras = self._keyframe_branch(
+        # --- keyframe branch under lax.cond: the detector / stereo matcher
+        # / RANSAC stack only *executes* on keyframes (cond compiles both
+        # branches but runs one), which is most frames' saving since
+        # keyframes come at ~1/4 the frame rate ---
+        def kf_fn(args):
+            state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp = args
+            return self._keyframe_branch(
+                state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp
+            )
+
+        def nk_fn(args):
+            state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp = args
+            nk_state = state.replace(
+                features=cur_feats,
+                cur_pyramid=_stack_pyr(cur_pyr),
+                pim=pim,
+                frame_count=state.frame_count + 1,
+            )
+            dummy_meas = StereoMeasurements(
+                ids=cur_feats.ids,
+                uvs=jnp.concatenate(
+                    [
+                        cur_feats.uv_rect[:, 0:1],
+                        jnp.full_like(cur_feats.uv_rect[:, 0:1], jnp.nan),
+                        cur_feats.uv_rect[:, 1:2],
+                    ],
+                    axis=-1,
+                ),
+                mask=jnp.zeros_like(cur_feats.mask),
+            )
+            dummy_extras = {
+                "n_mono_inliers": jnp.int32(0),
+                "n_stereo_inliers": jnp.int32(0),
+                "t_stereo_vote": jnp.zeros(3, cur_feats.uv.dtype),
+            }
+            return nk_state, dummy_meas, dummy_extras
+
+        operands = (
             state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp
         )
-
-        # Non-keyframe state: keep lkf data, update current features/pyr.
-        nk_state = state.replace(
-            features=cur_feats,
-            cur_pyramid=_stack_pyr(cur_pyr),
-            pim=pim,
-            frame_count=state.frame_count + 1,
+        new_state, kf_meas, kf_extras = jax.lax.cond(
+            is_keyframe, kf_fn, nk_fn, operands
         )
-
-        sel = lambda a, b: jax.tree.map(
-            lambda x, y: jnp.where(is_keyframe, x, y), a, b
-        )
-        new_state = sel(kf_state, nk_state)
         outputs = {
             "is_keyframe": is_keyframe,
             "status": jnp.where(is_keyframe, status, TRACKING_VALID),

@@ -86,9 +86,71 @@ class StereoImuPipeline:
                 meas_uvd=uvs, meas_mask=mask, status=status,
             )
         )
+        self._fused_step = jax.jit(self._fused_step_impl)
         self.logger = BackendLogger(output_path) if output_path else None
         self.frontend_logger = FrontendLogger(output_path) if output_path else None
         self.stats = StatsCollector()
+
+    # ------------------------------------------------------------------
+    def _fused_step_impl(self, fe_state, win, lmk, left, right, imu_block, stamp):
+        """One fully-fused VIO frame: frontend + (conditional) backend in a
+        single device program — ZERO host synchronization per frame. The
+        keyframe decision gates the backend with lax.cond on device (the
+        TPU-native replacement of the frontend->backend queue handoff,
+        reference StereoImuPipeline.cpp:95-114)."""
+        cfg = self.backend_cfg
+        fe_state, fe_out = self.frontend._process_frame_impl(
+            fe_state, left, right, imu_block, stamp
+        )
+        meas = fe_out["measurements"]
+
+        def do_backend(args):
+            win, lmk = args
+            return sm.backend_step(
+                cfg, win, lmk, pim=fe_out["pim"], stamp=stamp,
+                meas_ids=meas.ids, meas_uvd=meas.uvs, meas_mask=meas.mask,
+                status=fe_out["status"],
+            )
+
+        def skip_backend(args):
+            win, lmk = args
+            slot = jnp.maximum(win.n - 1, 0)
+            bout = {
+                "rot": win.rot[slot],
+                "pos": win.pos[slot],
+                "vel": win.vel[slot],
+                "bias": win.bias[slot],
+                "stamp": win.stamp[slot],
+                "slot": slot,
+                "lmk_points": jnp.zeros((cfg.max_landmarks, 3), win.pos.dtype),
+                "lmk_valid": jnp.zeros(cfg.max_landmarks, bool),
+                "lmk_ids": lmk.ids,
+            }
+            return win, lmk, bout
+
+        win, lmk, bout = jax.lax.cond(
+            fe_out["is_keyframe"], do_backend, skip_backend, (win, lmk)
+        )
+        # Bias feedback + PIM rebase on keyframes (in-graph; reference's
+        # imu_bias_update_callback, StereoImuPipeline.cpp:141-145).
+        new_bias = ImuBias(accel=bout["bias"][0:3], gyro=bout["bias"][3:6])
+        fe_state = jax.lax.cond(
+            fe_out["is_keyframe"],
+            lambda s: s.replace(
+                imu_bias=new_bias, pim=imu.Pim.zero(new_bias)
+            ),
+            lambda s: s,
+            fe_state,
+        )
+        frame_out = {
+            "is_keyframe": fe_out["is_keyframe"],
+            "n_tracked": fe_out["n_tracked"],
+            "rot": bout["rot"],
+            "pos": bout["pos"],
+            "vel": bout["vel"],
+            "bias": bout["bias"],
+        }
+        return fe_state, win, lmk, frame_out
 
     # ------------------------------------------------------------------
     def _bootstrap_state(self, provider: EurocDataProvider, stamp_ns: int, first_imu):
@@ -151,7 +213,7 @@ class StereoImuPipeline:
         lmk = sm.LandmarkTable.empty(L, K)
         fe_state = None
         t0_ns = None
-        pending = None  # (stamp_ns, backend-output) awaiting host readback
+        pending_outs = []  # (stamp_ns, frame_out) futures, drained at end
 
         for packet in provider.frames():
             stamp_ns = packet["stamp_ns"]
@@ -179,6 +241,7 @@ class StereoImuPipeline:
                 self._record(out, stamp_ns, win, slot=0)
                 out.n_keyframes += 1
                 out.n_frames += 1
+                last_kf_state = None
                 self.stats.add("bootstrap [ms]", (time.perf_counter() - tic) * 1e3)
                 continue
 
@@ -187,64 +250,29 @@ class StereoImuPipeline:
             imu_block = jax.tree.map(jnp.asarray, packet["imu"])
 
             tic = time.perf_counter()
-            fe_state, fe_out = self.frontend.process_frame(
-                fe_state, left, right, imu_block, stamp_s
+            fe_state, win, lmk, frame_out = self._fused_step(
+                fe_state, win, lmk, left, right, imu_block, jnp.float32(stamp_s)
             )
-            is_kf = bool(fe_out["is_keyframe"])  # host sync point
-            self.stats.add("frontend [ms]", (time.perf_counter() - tic) * 1e3)
+            if not self.parallel_run:
+                # Sequential determinism anchor: block every frame
+                # (reference parallel_run=0, Pipeline.cpp:197-215).
+                jax.block_until_ready(frame_out["pos"])
+            self.stats.add("vio_step [ms]", (time.perf_counter() - tic) * 1e3)
             out.n_frames += 1
+            pending_outs.append((stamp_ns, frame_out))
 
-            if self.frontend_logger:
-                self.frontend_logger.log(
-                    stamp_ns, is_kf, int(fe_out["n_tracked"]),
-                    float(fe_out["median_disparity"]),
-                    int(fe_out["n_mono_inliers"]),
-                    int(fe_out["n_stereo_inliers"]),
-                    (time.perf_counter() - tic) * 1e3,
-                )
+            if verbose and out.n_frames % 50 == 0:
+                print(f"frame {out.n_frames} pos {np.asarray(frame_out['pos'])}")
 
-            if not is_kf:
-                continue
-
-            # --- keyframe: backend update ---
-            tic = time.perf_counter()
-            meas = fe_out["measurements"]
-            win, lmk, bout = self._backend_step(
-                win, lmk, fe_out["pim"], jnp.float32(stamp_s),
-                meas.ids, meas.uvs, meas.mask,
-                jnp.int32(int(fe_out["status"])),
-            )
-            # Bias feedback to the frontend (reference bias callback).
-            fe_state = fe_state.replace(
-                imu_bias=ImuBias(
-                    accel=bout["bias"][0:3], gyro=bout["bias"][3:6]
-                ),
-                pim=imu.Pim.zero(
-                    ImuBias(accel=bout["bias"][0:3], gyro=bout["bias"][3:6])
-                ),
-            )
-            out.n_keyframes += 1
-            if self.parallel_run:
-                # Async dispatch: record previous keyframe now, fetch this
-                # one next iteration (device works while host loads images).
-                if pending is not None:
-                    self._record_out(out, *pending)
-                pending = (stamp_ns, bout)
-            else:
-                jax.block_until_ready(bout["pos"])
-                self._record_out(out, stamp_ns, bout)
-            self.stats.add("backend [ms]", (time.perf_counter() - tic) * 1e3)
-            if self.logger:
-                self.logger.log_timing(stamp_ns, (time.perf_counter() - tic) * 1e3)
-
-            if verbose and out.n_keyframes % 10 == 0:
-                print(
-                    f"kf {out.n_keyframes} frame {out.n_frames} "
-                    f"pos {np.asarray(bout['pos'])}"
-                )
-
-        if pending is not None:
-            self._record_out(out, *pending)
+        # Drain: fetch all per-frame outputs (device->host once, at the end
+        # for parallel mode; already materialized in sequential mode) and
+        # record the keyframe trajectory.
+        for stamp_ns, fo in pending_outs:
+            if bool(fo["is_keyframe"]):
+                out.n_keyframes += 1
+                self._record_out(out, stamp_ns, fo)
+                if self.logger:
+                    self.logger.log_timing(stamp_ns, 0.0)
         if self.logger:
             self.logger.close()
         if self.frontend_logger:
