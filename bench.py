@@ -89,6 +89,7 @@ def main():
     pipe2 = StereoImuPipeline(params, parallel_run=True)
     pipe2.frontend = pipe.frontend  # reuse compiled programs
     pipe2._backend_step = pipe._backend_step
+    pipe2._fused_step = pipe._fused_step
     t0 = time.perf_counter()
     out2 = pipe2.run(pre)
     dt = time.perf_counter() - t0

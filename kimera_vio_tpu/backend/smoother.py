@@ -367,6 +367,14 @@ def _smart_factor_blocks(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
         newest_idx=jnp.maximum(win.n - 1, 0),
     )
     ok = ok & (obs_mask.sum(-1) >= cfg.min_obs_for_triangulation)
+    # Invalid landmarks can triangulate to garbage/NaN; 0-weight masking
+    # does NOT stop NaNs (0 * NaN = NaN), so substitute a benign point
+    # (5 m in front of the newest camera) before linearization.
+    newest = jnp.maximum(win.n - 1, 0)
+    fallback = t_w_cam[newest] + 5.0 * R_w_cam[newest][:, 2]
+    safe = ok & jnp.all(jnp.isfinite(pts), axis=-1)
+    pts = jnp.where(safe[:, None], pts, fallback[None])
+    ok = safe
 
     # Residual of obs (l, k) wrt pose-k tangent (6) and point (3).
     def obs_residual(dpose, dpoint, Rk, pk, meas, point):
@@ -498,11 +506,17 @@ def _gn_solve(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
     def body(win, _):
         H, g, pts, lmk_ok = _assemble(cfg, win, lmk)
         D = H.shape[0]
-        # Levenberg damping keeps early ill-conditioned iterations stable.
-        Hd = H + 1e-6 * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(D, dtype=H.dtype)
-        L = jnp.linalg.cholesky(Hd)
-        delta = -jax.scipy.linalg.cho_solve((L, True), g)
-        delta = delta.reshape(cfg.nr_states, S_DOF)
+        # Jacobi-preconditioned Cholesky: prior information spans ~1e6..1e0
+        # across DoF, beyond raw f32 Cholesky's comfort. Scale to unit
+        # diagonal, solve, unscale — standard normal-equation equilibration.
+        H = 0.5 * (H + H.T)
+        d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-12))
+        dinv = 1.0 / d
+        Hs = H * dinv[:, None] * dinv[None, :]
+        Hs = Hs + 1e-5 * jnp.eye(D, dtype=H.dtype)
+        L = jnp.linalg.cholesky(Hs)
+        y = -jax.scipy.linalg.cho_solve((L, True), g * dinv)
+        delta = (y * dinv).reshape(cfg.nr_states, S_DOF)
         delta = delta * win.mask[:, None]
         rot, pos, vel, bias = retract_states(
             win.rot, win.pos, win.vel, win.bias, delta
@@ -559,6 +573,7 @@ def _marginalize_oldest(cfg: BackendConfig, win: Window) -> Window:
     X = sol[:, :-1]
     y = sol[:, -1]
     Lam = H11 - H01.T @ X
+    Lam = 0.5 * (Lam + Lam.T)
     eta = g[d:] - H01.T @ y  # gradient on remaining states
 
     # Place the reduced prior into slots 0..K-2 of a fresh (D,D).
@@ -664,14 +679,17 @@ def bootstrap(
         mask=win.mask.at[0].set(True),
         n=jnp.int32(1),
     )
-    # Initial prior information on state 0.
-    # Rotation prior: roll/pitch tight axes in world frame -> body frame.
+    # Initial prior information on state 0. Sigmas are clamped to 1e-3
+    # (info <= 1e6): the reference's 1e-5 sigmas are double-precision GTSAM
+    # values; at f32 they would swamp the normal equations without
+    # changing the estimate (the prior is still overwhelmingly dominant).
+    clamp = lambda s: jnp.maximum(s, 1e-3)
     Info_rot_w = jnp.diag(
         jnp.stack(
             [
-                1.0 / cfg.init_rp_sigma**2,
-                1.0 / cfg.init_rp_sigma**2,
-                1.0 / cfg.init_yaw_sigma**2,
+                1.0 / clamp(cfg.init_rp_sigma) ** 2,
+                1.0 / clamp(cfg.init_rp_sigma) ** 2,
+                1.0 / clamp(cfg.init_yaw_sigma) ** 2,
             ]
         )
     )
@@ -679,10 +697,10 @@ def bootstrap(
     Info_rot_b = R0.T @ Info_rot_w @ R0
     blocks = [
         Info_rot_b,
-        jnp.eye(3) / cfg.init_pos_sigma**2,
-        jnp.eye(3) / cfg.init_vel_sigma**2,
-        jnp.eye(3) / cfg.init_ba_sigma**2,
-        jnp.eye(3) / cfg.init_bg_sigma**2,
+        jnp.eye(3) / clamp(cfg.init_pos_sigma) ** 2,
+        jnp.eye(3) / clamp(cfg.init_vel_sigma) ** 2,
+        jnp.eye(3) / clamp(cfg.init_ba_sigma) ** 2,
+        jnp.eye(3) / clamp(cfg.init_bg_sigma) ** 2,
     ]
     P0 = jax.scipy.linalg.block_diag(*blocks)
     prior_H = win.prior_H.at[:S_DOF, :S_DOF].set(P0.astype(win.pos.dtype))

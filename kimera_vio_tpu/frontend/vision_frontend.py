@@ -79,6 +79,7 @@ class FrontendConfig:
     n_hyp_mono: int = struct.field(pytree_node=False, default=128)
     nr_horizontal_bins: int = struct.field(pytree_node=False, default=7)
     nr_vertical_bins: int = struct.field(pytree_node=False, default=5)
+    mono: bool = struct.field(pytree_node=False, default=False)
     use_2point_mono: bool = struct.field(pytree_node=False, default=True)
     use_1point_stereo: bool = struct.field(pytree_node=False, default=True)
     do_subpixel: bool = struct.field(pytree_node=False, default=True)
@@ -252,6 +253,20 @@ class StereoFrontend:
 
     def _stereo_measurements(self, left_rect, right_rect, feats):
         cfg = self.cfg
+        if cfg.mono:
+            # Mono frontend: measurements carry uR = NaN (reference
+            # MonoVisionImuFrontend.cpp:230-340 packs mono keypoints as
+            # StereoPoint2 with NaN uR).
+            uvd = jnp.stack(
+                [
+                    feats.uv_rect[:, 0],
+                    jnp.full_like(feats.uv_rect[:, 0], jnp.nan),
+                    feats.uv_rect[:, 1],
+                ],
+                -1,
+            )
+            meas = StereoMeasurements(ids=feats.ids, uvs=uvd, mask=feats.mask)
+            return meas, feats.mask.sum()
         uv_right, depth, ok = match_stereo(
             left_rect,
             right_rect,
@@ -426,6 +441,46 @@ class StereoFrontend:
         feats_inl = cur_feats.replace(
             mask=cur_feats.mask & (mono_inl | ~pair_mask)
         )
+
+        if cfg.mono:
+            # Mono: no stereo matching / 1-pt voting; refill detections and
+            # emit NaN-uR measurements.
+            uv_new, new_valid = det.detect_features(
+                left_rect,
+                feats_inl.uv_rect,
+                feats_inl.mask,
+                cfg.max_features,
+                quality_level=cfg.quality_level,
+                min_distance=cfg.min_distance,
+                nr_horizontal_bins=cfg.nr_horizontal_bins,
+                nr_vertical_bins=cfg.nr_vertical_bins,
+                do_subpixel=cfg.do_subpixel,
+            )
+            feats_full, next_id = self._merge_detections(
+                feats_inl, uv_new, new_valid, state.next_id
+            )
+            meas_out, _ = self._stereo_measurements(left_rect, left_rect, feats_full)
+            grads = tuple(of._grad(p) for p in cur_pyr)
+            kf_state = state.replace(
+                features=feats_full,
+                lkf_features=feats_full,
+                lkf_uvd=meas_out.uvs,
+                lkf_uvd_mask=meas_out.mask,
+                lkf_pyramid=_stack_pyr(cur_pyr),
+                cur_pyramid=_stack_pyr(cur_pyr),
+                lkf_grads=grads,
+                pim=imu.Pim.zero(state.imu_bias),
+                lkf_stamp=stamp,
+                next_id=next_id,
+                frame_count=state.frame_count + 1,
+                kf_count=state.kf_count + 1,
+            )
+            extras = {
+                "n_mono_inliers": n_mono,
+                "n_stereo_inliers": jnp.int32(0),
+                "t_stereo_vote": jnp.zeros(3, cur_feats.uv.dtype),
+            }
+            return kf_state, meas_out, extras
 
         # 6. Sparse stereo on the tracked inliers.
         meas_tracked, _ = self._stereo_measurements(

@@ -65,10 +65,8 @@ class StereoImuPipeline:
         parallel_run: bool | None = None,
     ):
         self.params = params
-        self.stereo = StereoCamera.from_params(params.left_cam, params.right_cam)
-        self.frontend_cfg = FrontendConfig.from_params(
-            params.frontend, max_features=params.max_features
-        )
+        self.stereo = self._build_rig(params)
+        self.frontend_cfg = self._build_frontend_cfg(params)
         self.pim_params = imu.PimParams.from_params(params.imu)
         self.frontend = StereoFrontend(
             self.frontend_cfg, self.stereo, self.pim_params
@@ -90,6 +88,15 @@ class StereoImuPipeline:
         self.logger = BackendLogger(output_path) if output_path else None
         self.frontend_logger = FrontendLogger(output_path) if output_path else None
         self.stats = StatsCollector()
+
+    # Overridable construction hooks (MonoImuPipeline swaps these).
+    def _build_rig(self, params):
+        return StereoCamera.from_params(params.left_cam, params.right_cam)
+
+    def _build_frontend_cfg(self, params):
+        return FrontendConfig.from_params(
+            params.frontend, max_features=params.max_features
+        )
 
     # ------------------------------------------------------------------
     def _fused_step_impl(self, fe_state, win, lmk, left, right, imu_block, stamp):
@@ -222,7 +229,11 @@ class StereoImuPipeline:
             stamp_s = (stamp_ns - t0_ns) * 1e-9
 
             left = jnp.asarray(provider.load_image(packet["left_path"]))
-            right = jnp.asarray(provider.load_image(packet["right_path"]))
+            right = (
+                jnp.asarray(provider.load_image(packet["right_path"]))
+                if "right_path" in packet
+                else left
+            )
 
             if fe_state is None:
                 tic = time.perf_counter()

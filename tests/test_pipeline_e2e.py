@@ -74,3 +74,20 @@ def test_parallel_mode_matches_sequential():
     np.testing.assert_allclose(
         np.stack(out_seq.positions), np.stack(out_par.positions), atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_mono_pipeline_synthetic():
+    """Mono+IMU pipeline (NaN-uR measurements, mono RANSAC only) on the
+    synthetic sequence — scale from the IMU, tight ATE."""
+    from kimera_vio_tpu.pipeline.mono_pipeline import MonoImuPipeline
+
+    params = synthetic_params(nr_states=8, max_features=256, max_landmarks=384)
+    provider = SyntheticStereoProvider(n_frames=30, vx=0.5)
+    pipe = MonoImuPipeline(params, parallel_run=False)
+    out = pipe.run(provider)
+    assert out.n_keyframes >= 4
+    est = np.stack(out.positions)
+    gt = provider.ground_truth
+    ate = compute_ate(np.array(out.stamps_ns), est, gt.stamps_ns, gt.positions, align=False)
+    assert ate["rmse"] < 0.05, ate
