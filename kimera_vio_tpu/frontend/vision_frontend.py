@@ -80,6 +80,10 @@ class FrontendConfig:
     nr_horizontal_bins: int = struct.field(pytree_node=False, default=7)
     nr_vertical_bins: int = struct.field(pytree_node=False, default=5)
     mono: bool = struct.field(pytree_node=False, default=False)
+    rgbd: bool = struct.field(pytree_node=False, default=False)
+    # RGB-D: depth below min or above max -> invalid (RgbdCamera gates).
+    depth_min: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.1))
+    depth_max: jax.Array = struct.field(default_factory=lambda: jnp.float32(10.0))
     use_2point_mono: bool = struct.field(pytree_node=False, default=True)
     use_1point_stereo: bool = struct.field(pytree_node=False, default=True)
     do_subpixel: bool = struct.field(pytree_node=False, default=True)
@@ -252,7 +256,42 @@ class StereoFrontend:
         return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
     def _stereo_measurements(self, left_rect, right_rect, feats):
+        """Stereo measurements for the current feature set. In RGB-D mode
+        `right_rect` is the DEPTH image: each keypoint's depth is sampled
+        bilinearly and converted to a virtual-stereo disparity
+        uR = uL - fx*b/z (reference RgbdFrame::fillStereoFrame,
+        RgbdVisionImuFrontend.cpp:210,312,363 and the fake-stereo calib of
+        RgbdCamera.cpp:92-104)."""
         cfg = self.cfg
+        if cfg.rgbd:
+            depth_img = right_rect
+            x = feats.uv_rect[:, 0]
+            y = feats.uv_rect[:, 1]
+            H, W = depth_img.shape
+            x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+            y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+            fx_ = jnp.clip(x - x0, 0.0, 1.0)
+            fy_ = jnp.clip(y - y0, 0.0, 1.0)
+            z = (
+                depth_img[y0, x0] * (1 - fx_) * (1 - fy_)
+                + depth_img[y0, x0 + 1] * fx_ * (1 - fy_)
+                + depth_img[y0 + 1, x0] * (1 - fx_) * fy_
+                + depth_img[y0 + 1, x0 + 1] * fx_ * fy_
+            )
+            ok = (
+                feats.mask
+                & (z > cfg.depth_min)
+                & (z < cfg.depth_max)
+                & jnp.isfinite(z)
+            )
+            safe_z = jnp.maximum(z, 1e-3)
+            disparity = self.stereo.fx * self.stereo.baseline / safe_z
+            uvd = jnp.stack(
+                [feats.uv_rect[:, 0], feats.uv_rect[:, 0] - disparity,
+                 feats.uv_rect[:, 1]], -1,
+            )
+            meas = StereoMeasurements(ids=feats.ids, uvs=uvd, mask=ok)
+            return meas, ok.sum()
         if cfg.mono:
             # Mono frontend: measurements carry uR = NaN (reference
             # MonoVisionImuFrontend.cpp:230-340 packs mono keypoints as

@@ -91,3 +91,34 @@ def test_mono_pipeline_synthetic():
     gt = provider.ground_truth
     ate = compute_ate(np.array(out.stamps_ns), est, gt.stamps_ns, gt.positions, align=False)
     assert ate["rmse"] < 0.05, ate
+
+
+@pytest.mark.slow
+def test_rgbd_pipeline_synthetic():
+    """RGB-D pipeline: depth image -> virtual-stereo disparities; tight ATE
+    on the synthetic constant-depth scene."""
+    from kimera_vio_tpu.pipeline.rgbd_pipeline import RgbdImuPipeline
+
+    params = synthetic_params(nr_states=8, max_features=256, max_landmarks=384)
+    base = SyntheticStereoProvider(n_frames=30, vx=0.5)
+
+    class RgbdProvider:
+        ground_truth = base.ground_truth
+        imu_sync = base.imu_sync
+
+        def load_image(self, key):
+            kind, k = key
+            if kind == "right":  # depth image, meters
+                return np.full((base.height, base.width), base.depth, np.float32)
+            return base.load_image(key)
+
+        def frames(self):
+            return base.frames()
+
+    pipe = RgbdImuPipeline(params, parallel_run=False)
+    out = pipe.run(RgbdProvider())
+    assert out.n_keyframes >= 4
+    est = np.stack(out.positions)
+    gt = base.ground_truth
+    ate = compute_ate(np.array(out.stamps_ns), est, gt.stamps_ns, gt.positions, align=False)
+    assert ate["rmse"] < 0.05, ate
