@@ -81,6 +81,7 @@ class FrontendConfig:
     nr_vertical_bins: int = struct.field(pytree_node=False, default=5)
     mono: bool = struct.field(pytree_node=False, default=False)
     rgbd: bool = struct.field(pytree_node=False, default=False)
+    use_pallas_lk: bool = struct.field(pytree_node=False, default=False)
     # RGB-D: depth below min or above max -> invalid (RgbdCamera gates).
     depth_min: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.1))
     depth_max: jax.Array = struct.field(default_factory=lambda: jnp.float32(10.0))
@@ -359,17 +360,32 @@ class StereoFrontend:
         )
 
         # 3. LK track lkf -> current (reference tracks kf-to-frame).
-        tracked_uv, ok = of.klt_track(
-            list(state.lkf_pyramid),
-            list(cur_pyr),
-            feats.uv_rect,
-            init_uv,
-            feats.mask,
-            win=cfg.klt_win,
-            max_iter=cfg.klt_max_iter,
-            eps=cfg.klt_eps,
-            prev_grads=list(state.lkf_grads),
-        )
+        if cfg.use_pallas_lk:
+            from kimera_vio_tpu.ops.pallas.lk_kernel import klt_track_pallas
+
+            tracked_uv, ok = klt_track_pallas(
+                list(state.lkf_pyramid),
+                list(cur_pyr),
+                feats.uv_rect,
+                init_uv,
+                feats.mask,
+                win=cfg.klt_win,
+                max_iter=cfg.klt_max_iter,
+                eps=cfg.klt_eps,
+                prev_grads=list(state.lkf_grads),
+            )
+        else:
+            tracked_uv, ok = of.klt_track(
+                list(state.lkf_pyramid),
+                list(cur_pyr),
+                feats.uv_rect,
+                init_uv,
+                feats.mask,
+                win=cfg.klt_win,
+                max_iter=cfg.klt_max_iter,
+                eps=cfg.klt_eps,
+                prev_grads=list(state.lkf_grads),
+            )
         ok = ok & feats.mask & (feats.ages < cfg.max_feature_age)
         cur_feats = TrackedFeatures(
             uv=tracked_uv,

@@ -101,10 +101,18 @@ class LoopClosureDetector:
         pose_R,
         pose_t,
         stamp_ns: int,
+        desc_override=None,
     ) -> LoopResult | None:
-        """Process one keyframe; returns a verified loop or None."""
+        """Process one keyframe; returns a verified loop or None.
+        `desc_override=(desc, ok)` skips internal ORB extraction (used by
+        LcdModule, which extracts once and caches)."""
         cfg = self.cfg
-        desc, angles, ok = self._orb(jnp.asarray(img), jnp.asarray(uv), jnp.asarray(mask))
+        if desc_override is not None:
+            desc, ok = desc_override
+        else:
+            desc, angles, ok = self._orb(
+                jnp.asarray(img), jnp.asarray(uv), jnp.asarray(mask)
+            )
         bow = self._transform(desc, ok)
         kf_id = self.n_kf
 

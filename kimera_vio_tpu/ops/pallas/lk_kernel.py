@@ -3,23 +3,20 @@
 The XLA formulation of LK (ops/optical_flow.py) dispatches one device-wide
 step per solver iteration: up to 30 iterations x 5 levels = 150 sequential
 gather+reduce rounds over all keypoints (~36 ms measured for 256 keypoints
-at 480x752). This kernel inverts the loop nesting — the grid runs over
-keypoints and the WHOLE iteration loop of one level runs inside the kernel
-on VMEM-resident patches:
+at 480x752). This kernel inverts the loop nesting: per pyramid level, XLA
+gathers each keypoint's template/gradient patches and a search window ONCE
+(one vmapped dynamic-slice round instead of one per iteration), then the
+whole iteration loop runs inside the kernel on VMEM-resident blocks.
 
-  * 3 async DMAs per keypoint pull the template patch, its Scharr
-    gradients, and a (SEARCH x SEARCH) current-image search window from HBM
-    into VMEM scratch,
-  * the 2x2 normal matrix is inverted once (scalar math),
-  * the iteration loop samples the moving patch with a dynamic VMEM slice +
-    4-tap scalar-weight bilinear blend, updates the flow, and early-exits
-    per keypoint (each keypoint converges independently — the batched XLA
-    version pays worst-case-of-the-batch),
-  * out-of-search-window motion marks the keypoint failed, like the
-    reference's border policy in cv::calcOpticalFlowPyrLK.
+Constraint discovered on this Mosaic toolchain: DMAs and vector loads with
+DYNAMIC offsets do not compile (only static block pipelining does), while
+`pltpu.roll` with a dynamic shift DOES. The moving-window sample is
+therefore realigned each iteration with two dynamic rolls (sublane + lane)
+followed by static slicing + the 4-tap scalar-weight bilinear blend. Each
+keypoint's loop exits at ITS convergence (the batched XLA version pays the
+worst case of the whole batch every iteration).
 
-The public wrapper `klt_track_pallas` mirrors ops.optical_flow.klt_track's
-semantics and is cross-checked against it in tests (interpret mode on CPU).
+Cross-checked against ops.optical_flow.klt_track in tests (interpret mode).
 """
 
 from __future__ import annotations
@@ -34,99 +31,71 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kimera_vio_tpu.ops import optical_flow as of
 
+_LANES = 128
+
+
+def _gather_windows(img, centers, rows, cols_pow):
+    """XLA-side: (N,rows,cols_pow) integer-aligned windows + origins.
+
+    Origins are clamped so windows stay inside the image."""
+    H, W = img.shape
+    y0 = jnp.clip(
+        jnp.floor(centers[:, 1]).astype(jnp.int32), 0, max(H - rows, 0)
+    )
+    x0 = jnp.clip(
+        jnp.floor(centers[:, 0]).astype(jnp.int32), 0, max(W - cols_pow, 0)
+    )
+
+    def one(yy, xx):
+        return jax.lax.dynamic_slice(img, (yy, xx), (rows, cols_pow))
+
+    return jax.vmap(one)(y0, x0), x0, y0
+
 
 def _level_kernel(
-    # scalar-prefetch: none; refs:
-    pts_ref,  # (N, 2) float32 — prev positions at this level (VMEM)
-    init_ref,  # (N, 2) float32 — current guesses (VMEM)
-    valid_ref,  # (N, 1) int32 (VMEM)
-    prev_hbm,  # (H, W) HBM
-    ix_hbm,
-    iy_hbm,
-    cur_hbm,
-    out_pts_ref,  # (N, 2)
-    out_ok_ref,  # (N, 1) int32
-    tmpl_s,  # (PAD, 128) VMEM scratch
-    gx_s,
-    gy_s,
-    cur_s,  # (SEARCH_PAD, 128) VMEM scratch
-    sem,  # DMA semaphores (4,)
+    scal_ref,  # (N, 8) SMEM: [px, py, gx0, gy0, sx, sy, tx, ty] per kp
+    valid_ref,  # (N, 1) SMEM int32
+    tmpl_ref,  # (1, TR, 128) VMEM block (this keypoint's template window)
+    gx_ref,
+    gy_ref,
+    search_ref,  # (1, SR, 128) VMEM block
+    out_ref,  # (1, 8, 128) VMEM block; row 0 lanes [x, y, ok, ...]
     *,
     win: int,
-    search: int,
+    search_rows: int,
     max_iter: int,
     eps: float,
     min_eig_thresh: float,
-    H: int,
-    W: int,
 ):
     i = pl.program_id(0)
-    px = pts_ref[i, 0]
-    py = pts_ref[i, 1]
-    gx0 = init_ref[i, 0]
-    gy0 = init_ref[i, 1]
+    px = scal_ref[i, 0]
+    py = scal_ref[i, 1]
+    gx0 = scal_ref[i, 2]
+    gy0 = scal_ref[i, 3]
+    sx = scal_ref[i, 4]
+    sy = scal_ref[i, 5]
+    tx = scal_ref[i, 6]
+    ty = scal_ref[i, 7]
     half = (win - 1) * 0.5
 
-    # ---- template + gradient patches: integer-aligned (win+1)^2 ----
-    tx = jnp.floor(px - half).astype(jnp.int32)
-    ty = jnp.floor(py - half).astype(jnp.int32)
-    fx = px - half - tx.astype(jnp.float32)
-    fy = py - half - ty.astype(jnp.float32)
-    txc = jnp.clip(tx, 0, W - win - 2)
-    tyc = jnp.clip(ty, 0, H - win - 2)
-    # If clamping moved the window, the fractional part is recomputed
-    # against the clamped origin (matches dynamic_slice clamping upstream).
-    fx = px - half - txc.astype(jnp.float32)
-    fy = py - half - tyc.astype(jnp.float32)
-
-    cp1 = pltpu.make_async_copy(
-        prev_hbm.at[pl.ds(tyc, win + 2), pl.ds(txc, win + 2)],
-        tmpl_s.at[pl.ds(0, win + 2), pl.ds(0, win + 2)],
-        sem.at[0],
-    )
-    cp2 = pltpu.make_async_copy(
-        ix_hbm.at[pl.ds(tyc, win + 2), pl.ds(txc, win + 2)],
-        gx_s.at[pl.ds(0, win + 2), pl.ds(0, win + 2)],
-        sem.at[1],
-    )
-    cp3 = pltpu.make_async_copy(
-        iy_hbm.at[pl.ds(tyc, win + 2), pl.ds(txc, win + 2)],
-        gy_s.at[pl.ds(0, win + 2), pl.ds(0, win + 2)],
-        sem.at[2],
-    )
-    # ---- search window around the initial guess ----
-    sh = search // 2
-    sx = jnp.clip(jnp.floor(gx0).astype(jnp.int32) - sh, 0, W - search - 2)
-    sy = jnp.clip(jnp.floor(gy0).astype(jnp.int32) - sh, 0, H - search - 2)
-    cp4 = pltpu.make_async_copy(
-        cur_hbm.at[pl.ds(sy, search + 2), pl.ds(sx, search + 2)],
-        cur_s.at[pl.ds(0, search + 2), pl.ds(0, search + 2)],
-        sem.at[3],
-    )
-    cp1.start()
-    cp2.start()
-    cp3.start()
-    cp4.start()
-    cp1.wait()
-    cp2.wait()
-    cp3.wait()
-    cp4.wait()
-
-    def blend(buf, fy_, fx_):
-        """(win x win) bilinear sample of buf at fractional origin."""
+    def blend_static(buf2d, fy_, fx_):
         w00 = (1 - fx_) * (1 - fy_)
         w01 = fx_ * (1 - fy_)
         w10 = (1 - fx_) * fy_
         w11 = fx_ * fy_
-        a = buf[pl.ds(0, win), pl.ds(0, win)]
-        b = buf[pl.ds(0, win), pl.ds(1, win)]
-        c = buf[pl.ds(1, win), pl.ds(0, win)]
-        d = buf[pl.ds(1, win), pl.ds(1, win)]
+        a = buf2d[0:win, 0:win]
+        b = buf2d[0:win, 1 : win + 1]
+        c = buf2d[1 : win + 1, 0:win]
+        d = buf2d[1 : win + 1, 1 : win + 1]
         return w00 * a + w01 * b + w10 * c + w11 * d
 
-    tmpl = blend(tmpl_s, fy, fx)
-    gx = blend(gx_s, fy, fx)
-    gy = blend(gy_s, fy, fx)
+    # Template / gradients: fractional offset relative to the gathered
+    # integer-aligned window origin (tx, ty).
+    ftx = px - half - tx
+    fty = py - half - ty
+    tmpl = blend_static(tmpl_ref[0], fty, ftx)
+    gx = blend_static(gx_ref[0], fty, ftx)
+    gy = blend_static(gy_ref[0], fty, ftx)
 
     gxx = jnp.sum(gx * gx)
     gxy = jnp.sum(gx * gy)
@@ -136,37 +105,44 @@ def _level_kernel(
     min_eig = (half_tr - jnp.sqrt(jnp.maximum(half_tr**2 - det, 0.0))) / (
         win * win
     )
-    good_g = (min_eig > min_eig_thresh) & (valid_ref[i, 0] > 0)
+    # Border keypoints whose gathered window was clamped have fractional
+    # offsets outside [0, 1): their static-slice blend would extrapolate.
+    frac_ok = (ftx >= 0.0) & (ftx < 1.5) & (fty >= 0.0) & (fty < 1.5)
+    good_g = (min_eig > min_eig_thresh) & (valid_ref[i, 0] > 0) & frac_ok
     safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
     inv00 = gyy / safe_det
     inv01 = -gxy / safe_det
     inv11 = gxx / safe_det
 
-    # ---- iteration loop (positions relative to the search buffer) ----
+    S = search_ref[0]  # (SR, 128)
+
     def body(state):
         it, cx_, cy_, moving, inb = state
-        ox = cx_ - half - sx.astype(jnp.float32)
-        oy = cy_ - half - sy.astype(jnp.float32)
+        ox = cx_ - half - sx
+        oy = cy_ - half - sy
         oxi = jnp.floor(ox).astype(jnp.int32)
         oyi = jnp.floor(oy).astype(jnp.int32)
         in_bounds = (
-            (oxi >= 0) & (oyi >= 0)
-            & (oxi <= search + 1 - win - 1)
-            & (oyi <= search + 1 - win - 1)
+            (oxi >= 0)
+            & (oyi >= 0)
+            & (oxi <= _LANES - win - 2)
+            & (oyi <= search_rows - win - 2)
         )
-        oxi_c = jnp.clip(oxi, 0, search + 1 - win)
-        oyi_c = jnp.clip(oyi, 0, search + 1 - win)
+        oxi_c = jnp.clip(oxi, 0, _LANES - win - 2)
+        oyi_c = jnp.clip(oyi, 0, search_rows - win - 2)
         fxx = ox - oxi_c.astype(jnp.float32)
         fyy = oy - oyi_c.astype(jnp.float32)
-        w00 = (1 - fxx) * (1 - fyy)
-        w01 = fxx * (1 - fyy)
-        w10 = (1 - fxx) * fyy
-        w11 = fxx * fyy
-        a = cur_s[pl.ds(oyi_c, win), pl.ds(oxi_c, win)]
-        b = cur_s[pl.ds(oyi_c, win), pl.ds(oxi_c + 1, win)]
-        c = cur_s[pl.ds(oyi_c + 1, win), pl.ds(oxi_c, win)]
-        d = cur_s[pl.ds(oyi_c + 1, win), pl.ds(oxi_c + 1, win)]
-        cur = w00 * a + w01 * b + w10 * c + w11 * d
+        # Realign: dynamic sublane roll MIScompiles on this toolchain, so
+        # the y-shift is a shift-matrix matmul on the MXU (out[r] =
+        # S[r + oyi]); the x-shift uses the (verified) dynamic lane roll.
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (search_rows, search_rows), 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (search_rows, search_rows), 1)
+        P = (c_ids == r_ids + oyi_c).astype(jnp.float32)
+        aligned_y = jax.lax.dot_general(
+            P, S, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        aligned = pltpu.roll(aligned_y, -oxi_c, 1)
+        cur = blend_static(aligned, fyy, fxx)
         dI = cur - tmpl
         bx = jnp.sum(dI * gx)
         by = jnp.sum(dI * gy)
@@ -185,68 +161,95 @@ def _level_kernel(
     _, cx_, cy_, _, inb = jax.lax.while_loop(
         cond, body, (0, gx0, gy0, True, True)
     )
-    out_pts_ref[i, 0] = cx_
-    out_pts_ref[i, 1] = cy_
-    ok = good_g & inb
-    out_ok_ref[i, 0] = ok.astype(jnp.int32)
+    ok = (good_g & inb).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, _LANES), 2)
+    row = (
+        jnp.where(lane == 0, cx_, 0.0)
+        + jnp.where(lane == 1, cy_, 0.0)
+        + jnp.where(lane == 2, ok, 0.0)
+    )
+    out_ref[...] = row
 
 
 def _track_level_pallas(
-    prev_img, prev_ix, prev_iy, cur_img, prev_pts, cur_pts, valid,
-    *, win, search, max_iter, eps, min_eig_thresh, interpret=False,
+    prev_img,
+    prev_ix,
+    prev_iy,
+    cur_img,
+    prev_pts,
+    cur_pts,
+    valid,
+    *,
+    win,
+    search_rows,
+    max_iter,
+    eps,
+    min_eig_thresh,
+    interpret=False,
 ):
     H, W = prev_img.shape
     N = prev_pts.shape[0]
-    pad = max(win + 2, 8)
-    spad = max(search + 2, 8)
+    tr = ((win + 2 + 7) // 8) * 8  # template rows, padded to sublane tile
+    sr = search_rows
+
+    half = (win - 1) * 0.5
+    tmpl_centers = prev_pts - half  # top-left corner target
+    T, tx0, ty0 = _gather_windows(prev_img, tmpl_centers, tr, _LANES)
+    GX, _, _ = _gather_windows(prev_ix, tmpl_centers, tr, _LANES)
+    GY, _, _ = _gather_windows(prev_iy, tmpl_centers, tr, _LANES)
+    # Search window: centered on the initial guess.
+    s_centers = cur_pts - jnp.array(
+        [_LANES / 2.0, sr / 2.0], cur_pts.dtype
+    )
+    S, sx0, sy0 = _gather_windows(cur_img, s_centers, sr, _LANES)
+
+    scal = jnp.stack(
+        [
+            prev_pts[:, 0],
+            prev_pts[:, 1],
+            cur_pts[:, 0],
+            cur_pts[:, 1],
+            sx0.astype(jnp.float32),
+            sy0.astype(jnp.float32),
+            tx0.astype(jnp.float32),
+            ty0.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
     kern = functools.partial(
         _level_kernel,
         win=win,
-        search=search,
+        search_rows=sr,
         max_iter=max_iter,
         eps=eps,
         min_eig_thresh=min_eig_thresh,
-        H=H,
-        W=W,
     )
-    out_pts, out_ok = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # pts (scalar reads)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # init
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # valid
-            pl.BlockSpec(memory_space=pltpu.ANY),  # prev (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # valid (full)
+            pl.BlockSpec((1, tr, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, tr, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, tr, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, sr, _LANES), lambda i: (i, 0, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((N, 2), jnp.float32),
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((pad, 128), jnp.float32),
-            pltpu.VMEM((pad, 128), jnp.float32),
-            pltpu.VMEM((pad, 128), jnp.float32),
-            pltpu.VMEM((spad, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        out_specs=pl.BlockSpec((1, 8, _LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 8, _LANES), jnp.float32),
         interpret=interpret,
     )(
-        prev_pts.astype(jnp.float32),
-        cur_pts.astype(jnp.float32),
+        scal,
         valid.astype(jnp.int32)[:, None],
-        prev_img,
-        prev_ix,
-        prev_iy,
-        cur_img,
+        T,
+        GX,
+        GY,
+        S,
     )
-    return out_pts, out_ok[:, 0] > 0
+    pts = out[:, 0, 0:2]
+    ok = out[:, 0, 2] > 0.5
+    return pts, ok
 
 
 def klt_track_pallas(
@@ -261,14 +264,14 @@ def klt_track_pallas(
     eps: float = 0.1,
     min_eig_thresh: float = 1e-4,
     prev_grads=None,
-    search_margin: int = 12,
+    search_rows: int = 56,
     interpret: bool = False,
 ):
     """Drop-in Pallas counterpart of ops.optical_flow.klt_track.
 
-    `search_margin` bounds the per-level motion around the initial guess
-    (the coarse-to-fine chain makes residual motion per level small); a
-    keypoint pushing beyond the search window is marked failed.
+    The per-level search region is (search_rows x 128) pixels around the
+    initial guess (the coarse-to-fine chain keeps residual motion per level
+    small); a keypoint pushing beyond it is marked failed.
     """
     n_levels = len(prev_pyr)
     scale_top = 2.0 ** (n_levels - 1)
@@ -277,23 +280,38 @@ def klt_track_pallas(
     ok = valid
     if prev_grads is None:
         prev_grads = [of._grad(p) for p in prev_pyr]
-    search = win + 2 * search_margin
     for lvl in range(n_levels - 1, -1, -1):
         if lvl != n_levels - 1:
             pts = pts * 2.0
             base = base * 2.0
         Hl, Wl = prev_pyr[lvl].shape
-        if min(Hl, Wl) < search + 4:
-            continue
         Ix, Iy = prev_grads[lvl]
+        if Hl < search_rows + 4 or Wl < _LANES + 4:
+            # Coarse levels too small for the kernel's fixed window: fall
+            # back to the XLA tracker (they are tiny and cheap there).
+            if min(Hl, Wl) >= win + 2:
+                pts, _ = of._track_level(
+                    prev_pyr[lvl], Ix, Iy, cur_pyr[lvl], base, pts, valid,
+                    win, max_iter, eps, min_eig_thresh, False,
+                )
+            continue
         pts, ok_lvl = _track_level_pallas(
-            prev_pyr[lvl], Ix, Iy, cur_pyr[lvl], base, pts, valid,
-            win=win, search=search, max_iter=max_iter, eps=eps,
-            min_eig_thresh=min_eig_thresh, interpret=interpret,
+            prev_pyr[lvl],
+            Ix,
+            Iy,
+            cur_pyr[lvl],
+            base,
+            pts,
+            valid,
+            win=win,
+            search_rows=search_rows,
+            max_iter=max_iter,
+            eps=eps,
+            min_eig_thresh=min_eig_thresh,
+            interpret=interpret,
         )
         if lvl == 0:
             ok = ok & ok_lvl
-    # Final bounds check at full resolution (same policy as the XLA path).
     H0, W0 = prev_pyr[0].shape
     half = win * 0.5
     inb = (

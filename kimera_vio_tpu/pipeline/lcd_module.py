@@ -1,0 +1,141 @@
+"""LcdModule: wires the loop-closure detector onto a VIO pipeline run.
+
+Mirrors the reference LcdModule (src/loopclosure/LcdModule.cpp:30-66):
+keyframe-paced, consuming backend poses + frontend images. Like the
+reference's LCD, feature extraction here is independent of the frontend's
+tracks — ORB-class keypoints are re-detected per keyframe and sparse stereo
+is rebuilt with the shared matcher (LoopClosureDetector.cpp:125-150).
+
+The vocabulary: the reference loads a pretrained DBoW2 ORBvoc; this module
+trains the binary codebook on the mission's first `vocab_train_kfs`
+keyframes (k-majority, loopclosure/vocab.py) and then processes the
+deferred keyframes — place recognition only activates after training,
+which matches the practical behavior (no loops fire in the first seconds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kimera_vio_tpu.loopclosure import orb as orb_mod
+from kimera_vio_tpu.loopclosure.frame_cache import FrameCache
+from kimera_vio_tpu.loopclosure.lcd import LcdConfig, LoopClosureDetector
+from kimera_vio_tpu.loopclosure.vocab import BowVocabulary, train_vocabulary
+from kimera_vio_tpu.ops import corner_detection as det
+from kimera_vio_tpu.ops.stereo_matching import match_stereo
+
+
+class LcdModule:
+    def __init__(
+        self,
+        stereo,
+        cfg: LcdConfig | None = None,
+        n_features: int = 256,
+        vocab_train_kfs: int = 20,
+        n_words: int = 256,
+        cache_dir: str | None = None,
+    ):
+        self.stereo = stereo
+        self.cfg = cfg or LcdConfig(n_features=n_features)
+        self.n_features = n_features
+        self.vocab_train_kfs = vocab_train_kfs
+        self.n_words = n_words
+        self._pending = []  # keyframes before vocabulary training
+        self._train_desc = []
+        self._train_mask = []
+        self.lcd: LoopClosureDetector | None = None
+        self.cache = FrameCache(cache_dir)
+
+        self._detect = jax.jit(
+            lambda im: det.detect_features(
+                im,
+                jnp.zeros((8, 2), jnp.float32),
+                jnp.zeros(8, bool),
+                n_features,
+                min_distance=12.0,
+                do_subpixel=False,
+            )
+        )
+        self._orb = jax.jit(orb_mod.orb_descriptors)
+        self._match_stereo = jax.jit(
+            lambda l, r, u, v: match_stereo(
+                l, r, u, v,
+                fx=stereo.fx, baseline=stereo.baseline,
+                templ_cols=31, templ_rows=11, max_disparity=128,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def _extract(self, left_rect, right_rect):
+        uv, ok = self._detect(left_rect)
+        desc, _, dok = self._orb(left_rect, uv, ok)
+        uvr, depth, sok = self._match_stereo(left_rect, right_rect, uv, ok)
+        uvd = jnp.stack([uv[:, 0], uvr[:, 0], uv[:, 1]], -1)
+        pts3 = self.stereo.backproject_rect(uvd)
+        versors = pts3 / jnp.maximum(
+            jnp.linalg.norm(pts3, axis=-1, keepdims=True), 1e-9
+        )
+        return (
+            np.asarray(uv), np.asarray(dok & sok), np.asarray(desc),
+            np.asarray(versors), np.asarray(pts3),
+        )
+
+    # ------------------------------------------------------------------
+    def add_keyframe(self, left_rect, right_rect, pose_R, pose_t, stamp_ns):
+        """Returns a verified LoopResult or None."""
+        uv, ok, desc, versors, pts3 = self._extract(
+            jnp.asarray(left_rect), jnp.asarray(right_rect)
+        )
+        payload = dict(
+            uv=uv, ok=ok, desc=desc, versors=versors, pts3=pts3,
+            pose_R=np.asarray(pose_R), pose_t=np.asarray(pose_t),
+            stamp=np.int64(stamp_ns),
+        )
+        if self.lcd is None:
+            self._pending.append(payload)
+            self._train_desc.append(desc)
+            self._train_mask.append(ok)
+            if len(self._pending) >= self.vocab_train_kfs:
+                self._finalize_vocab()
+            return None
+        return self._feed(payload)
+
+    def _finalize_vocab(self):
+        cb = train_vocabulary(
+            jnp.asarray(np.concatenate(self._train_desc)),
+            jnp.asarray(np.concatenate(self._train_mask)),
+            n_words=self.n_words,
+            iters=6,
+        )
+        self.lcd = LoopClosureDetector(BowVocabulary(cb), self.cfg, self.stereo)
+        for p in self._pending:
+            self._feed(p)
+        self._pending.clear()
+        self._train_desc.clear()
+        self._train_mask.clear()
+
+    def _feed(self, p):
+        self.cache.add(self.lcd.n_kf, {k: v for k, v in p.items() if k != "stamp"})
+        return self.lcd.add_keyframe(
+            None, p["uv"], p["ok"], p["versors"], p["pts3"],
+            p["pose_R"], p["pose_t"], int(p["stamp"]),
+            desc_override=(jnp.asarray(p["desc"]), jnp.asarray(p["ok"])),
+        )
+
+    # ------------------------------------------------------------------
+    def finish(self):
+        """Train the vocabulary even if short, then return the PGO result
+        (optimized trajectory + detected loops)."""
+        if self.lcd is None and self._pending:
+            self._finalize_vocab()
+        if self.lcd is None or self.lcd.n_kf < 2:
+            return None
+        rot, pos = self.lcd.optimize_graph()
+        return {
+            "rot": rot,
+            "pos": pos,
+            "stamps": list(self.lcd.kf_stamps),
+            "loops": self.lcd.loops,
+        }

@@ -94,9 +94,14 @@ class StereoImuPipeline:
         return StereoCamera.from_params(params.left_cam, params.right_cam)
 
     def _build_frontend_cfg(self, params):
-        return FrontendConfig.from_params(
+        cfg = FrontendConfig.from_params(
             params.frontend, max_features=params.max_features
         )
+        # The Pallas LK kernel targets real TPUs (Mosaic); CPU runs use the
+        # XLA tracker (interpret-mode pallas would be much slower).
+        if jax.devices()[0].platform not in ("cpu",):
+            cfg = cfg.replace(use_pallas_lk=True)
+        return cfg
 
     # ------------------------------------------------------------------
     def _fused_step_impl(self, fe_state, win, lmk, left, right, imu_block, stamp):

@@ -157,3 +157,27 @@ def test_rotational_flow_prediction():
         uv2, jnp.ones(1, bool), R_big, K, K_inv, 320, 240
     )
     np.testing.assert_allclose(np.asarray(pred2), np.asarray(uv2))
+
+
+def test_pallas_kernel_matches_xla():
+    """The Pallas LK kernel (interpret mode on CPU) must agree with the XLA
+    tracker on a full-size pyramid."""
+    from kimera_vio_tpu.ops.pallas.lk_kernel import klt_track_pallas
+
+    img = textured_image(480, 752, seed=5)
+    cur = shift_image(img, 7.0, -3.0)
+    pts = grid_points(480, 752, margin=70, step=60).astype(np.float32)
+    prev_pyr = of.build_pyramid(jnp.asarray(img), 3)
+    cur_pyr = of.build_pyramid(jnp.asarray(cur), 3)
+    valid = jnp.ones(len(pts), bool)
+    out_p, ok_p = klt_track_pallas(
+        prev_pyr, cur_pyr, jnp.asarray(pts), jnp.asarray(pts), valid,
+        interpret=True,
+    )
+    out_x, ok_x = of.klt_track(
+        prev_pyr, cur_pyr, jnp.asarray(pts), jnp.asarray(pts), valid
+    )
+    both = np.asarray(ok_p) & np.asarray(ok_x)
+    assert both.mean() > 0.8
+    d = np.linalg.norm(np.asarray(out_p)[both] - np.asarray(out_x)[both], axis=-1)
+    assert np.median(d) < 0.05, np.median(d)
