@@ -227,18 +227,29 @@ class StereoImuPipeline:
         t0_ns = None
         pending_outs = []  # (stamp_ns, frame_out) futures, drained at end
 
-        for packet in provider.frames():
-            stamp_ns = packet["stamp_ns"]
-            if t0_ns is None:
-                t0_ns = stamp_ns
-            stamp_s = (stamp_ns - t0_ns) * 1e-9
-
+        def load(packet):
             left = jnp.asarray(provider.load_image(packet["left_path"]))
             right = (
                 jnp.asarray(provider.load_image(packet["right_path"]))
                 if "right_path" in packet
                 else left
             )
+            return packet, left, right
+
+        if self.parallel_run:
+            # Dataprovider thread: decode images ahead of the device
+            # (reference Pipeline.cpp:318 bounded-queue backpressure).
+            from kimera_vio_tpu.utils.prefetch import PrefetchIterator
+
+            stream = PrefetchIterator(provider.frames(), load, depth=4)
+        else:
+            stream = (load(p) for p in provider.frames())
+
+        for packet, left, right in stream:
+            stamp_ns = packet["stamp_ns"]
+            if t0_ns is None:
+                t0_ns = stamp_ns
+            stamp_s = (stamp_ns - t0_ns) * 1e-9
 
             if fe_state is None:
                 tic = time.perf_counter()
