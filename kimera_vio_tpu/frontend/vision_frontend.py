@@ -89,8 +89,9 @@ class FrontendConfig:
     use_1point_stereo: bool = struct.field(pytree_node=False, default=True)
     do_subpixel: bool = struct.field(pytree_node=False, default=True)
     equalize: bool = struct.field(pytree_node=False, default=False)
+    # static floats consumed inside Pallas kernels
+    klt_eps: float = struct.field(pytree_node=False, default=0.1)
     # traced scalars
-    klt_eps: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.1))
     max_feature_age: jax.Array = struct.field(default_factory=lambda: jnp.int32(25))
     quality_level: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.001))
     min_distance: jax.Array = struct.field(default_factory=lambda: jnp.float32(20.0))
