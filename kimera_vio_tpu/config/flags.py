@@ -1,0 +1,87 @@
+"""Lightweight runtime-flag registry — the gflags tier of the config system.
+
+The reference uses a two-tier configuration: YAML `*Params` files for the
+algorithmic parameters and ~80 gflags for debug/visualization/behavior
+toggles (reference docs/gflags_parameters.md, 273 lines). This module is
+the second tier: `define_*` registers a flag with a default; values resolve
+from (1) explicit `set_flag` calls, (2) environment variables
+(`KIMERA_<NAME>`), (3) the default. Flags used across the codebase are
+declared here, mirroring the reference's names where they exist.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+_REGISTRY: dict[str, "_Flag"] = {}
+
+
+@dataclass
+class _Flag:
+    name: str
+    default: Any
+    help: str
+    type: type
+    value: Any = None
+
+    def get(self):
+        if self.value is not None:
+            return self.value
+        env = os.environ.get(f"KIMERA_{self.name.upper()}")
+        if env is not None:
+            if self.type is bool:
+                return env.lower() in ("1", "true", "yes")
+            return self.type(env)
+        return self.default
+
+
+def _define(name, default, help_, typ):
+    _REGISTRY[name] = _Flag(name, default, help_, typ)
+
+
+def define_bool(name, default, help_=""):
+    _define(name, default, help_, bool)
+
+
+def define_int(name, default, help_=""):
+    _define(name, default, help_, int)
+
+
+def define_float(name, default, help_=""):
+    _define(name, default, help_, float)
+
+
+def define_string(name, default, help_=""):
+    _define(name, default, help_, str)
+
+
+def get_flag(name):
+    return _REGISTRY[name].get()
+
+
+def set_flag(name, value):
+    _REGISTRY[name].value = value
+
+
+def all_flags() -> dict:
+    return {k: f.get() for k, f in sorted(_REGISTRY.items())}
+
+
+# ---- core flags (mirroring reference gflags where applicable) -----------
+define_bool("log_output", False, "Write CSV logs (reference --log_output)")
+define_string("output_path", "./output_logs", "Log directory")
+define_bool(
+    "deterministic_random_number_generator", False,
+    "Fix RANSAC seeds (reference Pipeline.cpp:35-40)",
+)
+define_int("viz_type", 2, "0 none, 1 pointcloud, 2 mesh")
+define_bool("visualize", False, "Enable the visualizer module")
+define_int("initial_k", 0, "First frame index (reference --initial_k)")
+define_int("final_k", -1, "Last frame index, -1 = all (reference --final_k)")
+define_bool("use_lcd", False, "Enable loop closure (reference --use_lcd)")
+define_float(
+    "max_triangle_side", 0.5, "Mesher triangle filter (reference gflag)"
+)
+define_bool("log_euroc_gt_data", False, "Also write GT csv when available")

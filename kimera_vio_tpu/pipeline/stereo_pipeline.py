@@ -63,7 +63,13 @@ class StereoImuPipeline:
         params: VioParams,
         output_path: str | None = None,
         parallel_run: bool | None = None,
+        enable_mesher: bool = False,
+        enable_lcd: bool = False,
+        enable_visualizer: bool = False,
     ):
+        self.enable_mesher = enable_mesher
+        self.enable_lcd = enable_lcd
+        self.enable_visualizer = enable_visualizer
         self.params = params
         self.stereo = self._build_rig(params)
         self.frontend_cfg = self._build_frontend_cfg(params)
@@ -161,6 +167,13 @@ class StereoImuPipeline:
             "pos": bout["pos"],
             "vel": bout["vel"],
             "bias": bout["bias"],
+            # For the keyframe-paced aux modules (mesher / LCD / viz).
+            "lmk_points": bout["lmk_points"],
+            "lmk_valid": bout["lmk_valid"],
+            "lmk_ids": bout["lmk_ids"],
+            "kp_uv": jnp.stack([meas.uvs[:, 0], meas.uvs[:, 2]], -1),
+            "kp_ids": meas.ids,
+            "kp_mask": meas.mask,
         }
         return fe_state, win, lmk, frame_out
 
@@ -226,6 +239,61 @@ class StereoImuPipeline:
         fe_state = None
         t0_ns = None
         pending_outs = []  # (stamp_ns, frame_out) futures, drained at end
+        # Keyframe-paced aux modules (reference Mesher/Lcd/Visualizer
+        # modules): fed from a lagged drain so async dispatch stays deep.
+        mesher = lcd_module = visualizer = display = None
+        if self.enable_mesher:
+            from kimera_vio_tpu.mesher.mesher import Mesher
+
+            mesher = Mesher()
+        if self.enable_lcd:
+            from kimera_vio_tpu.pipeline.lcd_module import LcdModule
+
+            lcd_module = LcdModule(self.stereo)
+        if self.enable_visualizer:
+            from kimera_vio_tpu.visualizer.visualizer import (
+                FileDisplay,
+                Visualizer3D,
+            )
+
+            visualizer = Visualizer3D()
+            display = FileDisplay(self.logger and "viz_out" or "/tmp/viz_out")
+        aux_lag = 8
+        aux_queue = []  # (stamp_ns, frame_out, left, right)
+
+        def feed_aux(stamp_ns, fo, left, right):
+            if not bool(fo["is_keyframe"]):
+                return
+            pose_R = np.asarray(fo["rot"])
+            pose_t = np.asarray(fo["pos"])
+            mesh = None
+            if mesher is not None:
+                ids_alive = set(
+                    int(i) for i in np.asarray(fo["lmk_ids"]) if i >= 0
+                )
+                mesh = mesher.spin_once(
+                    np.asarray(fo["kp_uv"]),
+                    np.asarray(fo["kp_ids"]),
+                    np.asarray(fo["lmk_ids"]),
+                    np.asarray(fo["lmk_points"]),
+                    np.asarray(fo["lmk_valid"]),
+                    horizon_ids=ids_alive,
+                )
+            if lcd_module is not None:
+                from kimera_vio_tpu.frontend.camera import remap_bilinear
+
+                lrect = remap_bilinear(left, self.frontend.map_left)
+                rrect = remap_bilinear(right, self.frontend.map_right)
+                lcd_module.add_keyframe(lrect, rrect, pose_R, pose_t, stamp_ns)
+            if visualizer is not None:
+                w = visualizer.spin_once(
+                    pose_R, pose_t,
+                    np.asarray(fo["lmk_points"]),
+                    np.asarray(fo["lmk_valid"]),
+                    np.asarray(fo["lmk_ids"]),
+                    mesh=mesh,
+                )
+                display.spin_once(w)
 
         def load(packet):
             left = jnp.asarray(provider.load_image(packet["left_path"]))
@@ -287,13 +355,18 @@ class StereoImuPipeline:
             self.stats.add("vio_step [ms]", (time.perf_counter() - tic) * 1e3)
             out.n_frames += 1
             pending_outs.append((stamp_ns, frame_out))
+            if mesher or lcd_module or visualizer:
+                aux_queue.append((stamp_ns, frame_out, left, right))
+                if len(aux_queue) > aux_lag:
+                    feed_aux(*aux_queue.pop(0))
 
             if verbose and out.n_frames % 50 == 0:
                 print(f"frame {out.n_frames} pos {np.asarray(frame_out['pos'])}")
 
-        # Drain: fetch all per-frame outputs (device->host once, at the end
-        # for parallel mode; already materialized in sequential mode) and
-        # record the keyframe trajectory.
+        # Drain remaining aux work, then record the keyframe trajectory.
+        for item in aux_queue:
+            feed_aux(*item)
+        self.lcd_result = lcd_module.finish() if lcd_module else None
         for stamp_ns, fo in pending_outs:
             if bool(fo["is_keyframe"]):
                 out.n_keyframes += 1
