@@ -127,7 +127,7 @@ class FrontendConfig:
             use_1point_stereo=fp.ransac_use_1point_stereo,
             do_subpixel=fp.enable_subpixel_corner_finder,
             equalize=fp.equalize_image,
-            klt_eps=f(fp.klt_eps),
+            klt_eps=float(fp.klt_eps),
             max_feature_age=i(fp.max_feature_age),
             quality_level=f(fp.quality_level),
             min_distance=f(fp.min_distance),
