@@ -95,7 +95,7 @@ class KittiDataProvider:
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
         if img is None:
             raise FileNotFoundError(path)
-        return img.astype(np.float32)
+        return img  # uint8; device casts
 
     def frames(self):
         prev_t = None

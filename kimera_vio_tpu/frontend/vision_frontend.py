@@ -203,6 +203,9 @@ class StereoFrontend:
 
     def _init_state_impl(self, left_img, right_img, stamp):
         cfg = self.cfg
+        left_img = left_img.astype(jnp.float32)
+        if not cfg.rgbd:
+            right_img = right_img.astype(jnp.float32)
         left_rect = remap_bilinear(left_img, self.map_left)
         pyr = of.build_pyramid(left_rect, cfg.klt_max_level)
         grads = tuple(of._grad(p) for p in pyr)
@@ -339,6 +342,9 @@ class StereoFrontend:
         self, state: FrontendState, left_img, right_img, imu_block: ImuBlock, stamp
     ):
         cfg = self.cfg
+        left_img = left_img.astype(jnp.float32)
+        if not cfg.rgbd:
+            right_img = right_img.astype(jnp.float32)
         left_rect = remap_bilinear(left_img, self.map_left)
         cur_pyr = of.build_pyramid(left_rect, cfg.klt_max_level)
 

@@ -296,12 +296,19 @@ class StereoImuPipeline:
                 display.spin_once(w)
 
         def load(packet):
-            left = jnp.asarray(provider.load_image(packet["left_path"]))
-            right = (
-                jnp.asarray(provider.load_image(packet["right_path"]))
+            l = provider.load_image(packet["left_path"])
+            r = (
+                provider.load_image(packet["right_path"])
                 if "right_path" in packet
-                else left
+                else None
             )
+            if r is not None and r.shape == l.shape and r.dtype == l.dtype:
+                # One stacked transfer per frame (per-transfer latency on
+                # the TPU tunnel dominates; uint8 keeps it 4x smaller).
+                pair = jnp.asarray(np.stack([l, r]))
+                return packet, pair[0], pair[1]
+            left = jnp.asarray(l)
+            right = jnp.asarray(r) if r is not None else left
             return packet, left, right
 
         if self.parallel_run:
