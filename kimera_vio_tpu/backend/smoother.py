@@ -376,42 +376,57 @@ def _smart_factor_blocks(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
     pts = jnp.where(safe[:, None], pts, fallback[None])
     ok = safe
 
-    # Residual of obs (l, k) wrt pose-k tangent (6) and point (3).
-    def obs_residual(dpose, dpoint, Rk, pk, meas, point):
-        R = Rk @ geo.so3_exp(dpose[0:3])
-        p = pk + dpose[3:6]
-        pw = point + dpoint
-        R_wc = R @ cfg.R_b_cam
-        t_wc = p + R @ cfg.t_b_cam
-        pc = R_wc.T @ (pw - t_wc)
-        z = jnp.where(jnp.abs(pc[2]) < 1e-6, 1e-6, pc[2])
-        pred = jnp.stack(
-            [
-                cfg.fx * pc[0] / z + cfg.cx,
-                cfg.fx * (pc[0] - cfg.baseline) / z + cfg.cx,
-                cfg.fy * pc[1] / z + cfg.cy,
-            ]
-        )
-        return (pred - meas) / cfg.smart_noise_sigma
-
-    z6 = jnp.zeros(6, win.pos.dtype)
-    z3 = jnp.zeros(3, win.pos.dtype)
-
-    def per_obs(Rk, pk, meas, point):
-        r = obs_residual(z6, z3, Rk, pk, meas, point)
-        F = jax.jacfwd(lambda d: obs_residual(d, z3, Rk, pk, meas, point))(z6)
-        E = jax.jacfwd(lambda d: obs_residual(z6, d, Rk, pk, meas, point))(z3)
-        return r, F, E
-
-    # Mono observations carry uR = NaN: mask their uR residual row.
+    # Residuals + ANALYTIC Jacobians, batched as (L,K,...) einsums (the
+    # autodiff version evaluated the residual 9x per observation):
+    #   p_c = R_bc^T Exp(-dth) q - R_bc^T t_bc - R_bc^T Exp(-dth) R_wb^T dp,
+    #   q = R_wb^T (p_w - p_wb)  =>  dp_c/dth = R_bc^T hat(q),
+    #   dp_c/dp  = -R_wc^T,  dp_c/dpw = R_wc^T.
     stereo_ok = jnp.isfinite(lmk.obs_uvd[..., 1])
     obs_uvd_safe = lmk.obs_uvd.at[..., 1].set(
         jnp.where(stereo_ok, lmk.obs_uvd[..., 1], lmk.obs_uvd[..., 0])
     )
-    per_lmk = jax.vmap(
-        jax.vmap(per_obs, in_axes=(0, 0, 0, None)), in_axes=(None, None, 0, 0)
+    R_wc_T = jnp.swapaxes(R_w_cam, -1, -2)  # (K,3,3)
+    diff = pts[:, None, :] - win.pos[None, :, :]  # (L,K,3)
+    q = jnp.einsum("kji,lkj->lki", win.rot, diff)  # R_wb^T (p_w - p_wb)
+    pc = jnp.einsum("kji,lkj->lki", R_w_cam, pts[:, None, :] - t_w_cam[None])
+    z = pc[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    pred = jnp.stack(
+        [
+            cfg.fx * pc[..., 0] / safe_z + cfg.cx,
+            cfg.fx * (pc[..., 0] - cfg.baseline) / safe_z + cfg.cx,
+            cfg.fy * pc[..., 1] / safe_z + cfg.cy,
+        ],
+        axis=-1,
     )
-    r, F, E = per_lmk(win.rot, win.pos, obs_uvd_safe, pts)
+    r = (pred - obs_uvd_safe) / cfg.smart_noise_sigma  # (L,K,3)
+    # Projection Jacobian d[uL,uR,v]/dp_c: (L,K,3,3).
+    zeros = jnp.zeros_like(z)
+    iz = 1.0 / safe_z
+    Jproj = jnp.stack(
+        [
+            jnp.stack([cfg.fx * iz, zeros, -cfg.fx * pc[..., 0] * iz * iz], -1),
+            jnp.stack(
+                [cfg.fx * iz, zeros, -cfg.fx * (pc[..., 0] - cfg.baseline) * iz * iz],
+                -1,
+            ),
+            jnp.stack([cfg.fy * iz, zeros, zeros], -1)
+            .at[..., 1]
+            .set(cfg.fy * iz)
+            .at[..., 0]
+            .set(0.0)
+            .at[..., 2]
+            .set(-cfg.fy * pc[..., 1] * iz * iz),
+        ],
+        axis=-2,
+    ) / cfg.smart_noise_sigma
+    # dp_c/dth = R_bc^T hat(q): (L,K,3,3)
+    dpc_dth = jnp.einsum("ji,lkjm->lkim", cfg.R_b_cam, geo.hat(q))
+    # dp_c/dp = -R_wc^T (broadcast over L); dp_c/dpw = +R_wc^T.
+    J_th = jnp.einsum("lkab,lkbm->lkam", Jproj, dpc_dth)
+    J_p = -jnp.einsum("lkab,kbm->lkam", Jproj, R_wc_T)
+    F = jnp.concatenate([J_th, J_p], axis=-1)  # (L,K,3,6)
+    E = jnp.einsum("lkab,kbm->lkam", Jproj, R_wc_T)  # (L,K,3,3)
     # r: (L,K,3), F: (L,K,3,6), E: (L,K,3,3)
     row_ok = stereo_ok[..., None].astype(r.dtype) * jnp.ones((1, 1, 3), r.dtype)
     row_ok = row_ok.at[..., 0].set(1.0).at[..., 2].set(1.0)
