@@ -312,54 +312,11 @@ class StereoImuPipeline:
             return packet, left, right
 
         if self.parallel_run:
-            # Dataprovider thread: decode AND upload images ahead of the
-            # device in chunks — per-transfer latency on the TPU tunnel is
-            # ~size-independent, so one (C,2,H,W) upload per C frames costs
-            # ~1/C of per-frame uploads (reference Pipeline.cpp:318's
-            # bounded-queue backpressure, plus transfer batching).
+            # Dataprovider thread: decode images ahead of the device
+            # (reference Pipeline.cpp:318 bounded-queue backpressure).
             from kimera_vio_tpu.utils.prefetch import PrefetchIterator
 
-            C = 8
-
-            def chunks(it):
-                buf = []
-                for p in it:
-                    buf.append(p)
-                    if len(buf) == C:
-                        yield buf
-                        buf = []
-                if buf:
-                    yield buf
-
-            def load_chunk(ps):
-                ls = [provider.load_image(p["left_path"]) for p in ps]
-                rs = [
-                    provider.load_image(p["right_path"])
-                    if "right_path" in p
-                    else ls[i]
-                    for i, p in enumerate(ps)
-                ]
-                same = all(
-                    r.shape == l.shape and r.dtype == l.dtype
-                    for l, r in zip(ls, rs)
-                )
-                if same:
-                    block = jnp.asarray(np.stack([np.stack(ls), np.stack(rs)], 1))
-                    return [
-                        (p, block[i, 0], block[i, 1]) for i, p in enumerate(ps)
-                    ]
-                return [
-                    (p, jnp.asarray(l), jnp.asarray(r))
-                    for p, l, r in zip(ps, ls, rs)
-                ]
-
-            def flatten(it):
-                for chunk in it:
-                    yield from chunk
-
-            stream = flatten(
-                PrefetchIterator(chunks(provider.frames()), load_chunk, depth=2)
-            )
+            stream = PrefetchIterator(provider.frames(), load, depth=4)
         else:
             stream = (load(p) for p in provider.frames())
 
