@@ -193,9 +193,61 @@ class StereoFrontend:
         self.K_rect_inv = jnp.linalg.inv(self.K_rect)
         # R from body to rectified-left cam (for gyro rotation transfer).
         self.R_cam_body = jnp.asarray(stereo.R_b_rect).T
+        # Raw-left-camera quantities: tracking/detection run on the RAW
+        # image (the reference tracks unrectified frames and rectifies
+        # keypoints, Tracker.cpp / UndistorterRectifier); full-image remap
+        # happens only inside the keyframe branch for stereo matching.
+        lf = self.left
+        self.K_raw = jnp.array(
+            [
+                [float(lf.fx), 0.0, float(lf.cx)],
+                [0.0, float(lf.fy), float(lf.cy)],
+                [0.0, 0.0, 1.0],
+            ],
+            jnp.float32,
+        )
+        self.K_raw_inv = jnp.linalg.inv(self.K_raw)
+        self.R_leftcam_body = jnp.asarray(self.left.R_bc).T
+        # Identity rectification (mono / RGB-D rigs, distortion-free
+        # synthetic cameras): skip the remap entirely.
+        import numpy as _np
+        from kimera_vio_tpu.frontend.camera import DIST_NONE
+
+        self.identity_rect = bool(
+            self.left.dist_model == DIST_NONE
+            and _np.allclose(_np.asarray(stereo.R_rect_l), _np.eye(3), atol=1e-6)
+            and _np.allclose(
+                [float(stereo.fx), float(stereo.fy), float(stereo.cx), float(stereo.cy)],
+                [float(lf.fx), float(lf.fy), float(lf.cx), float(lf.cy)],
+            )
+        )
 
         self._process_frame = jax.jit(self._process_frame_impl)
         self._init_state = jax.jit(self._init_state_impl)
+
+    # ------------------------------------------------------------------
+    def _rectify_uv(self, uv):
+        if self.identity_rect:
+            return uv
+        return rectify_keypoints(
+            self.stereo, self.stereo.left, self.stereo.R_rect_l, uv
+        )
+
+    def _remap_left(self, img):
+        return img if self.identity_rect else remap_bilinear(img, self.map_left)
+
+    def _remap_right(self, img):
+        return img if self.identity_rect else remap_bilinear(img, self.map_right)
+
+    def _versors_from_raw(self, uv_raw):
+        """Unit bearing vectors in the RECTIFIED-left frame from raw
+        (distorted) pixel coords."""
+        from kimera_vio_tpu.frontend.camera import undistort_to_normalized
+
+        xy = undistort_to_normalized(self.left, uv_raw, iters=10)
+        rays = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], axis=-1)
+        rays = (self.stereo.R_rect_l @ rays[..., None])[..., 0]
+        return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
 
     # ------------------------------------------------------------------
     def init_state(self, left_img, right_img, stamp):
@@ -206,12 +258,11 @@ class StereoFrontend:
         left_img = left_img.astype(jnp.float32)
         if not cfg.rgbd:
             right_img = right_img.astype(jnp.float32)
-        left_rect = remap_bilinear(left_img, self.map_left)
-        pyr = of.build_pyramid(left_rect, cfg.klt_max_level)
+        pyr = of.build_pyramid(left_img, cfg.klt_max_level)
         grads = tuple(of._grad(p) for p in pyr)
         feats = TrackedFeatures.empty(cfg.max_features)
         uv, valid = det.detect_features(
-            left_rect,
+            left_img,
             feats.uv,
             feats.mask,
             cfg.max_features,
@@ -223,9 +274,9 @@ class StereoFrontend:
         )
         ids = jnp.where(valid, jnp.arange(cfg.max_features, dtype=jnp.int32), -1)
         feats = TrackedFeatures(
-            uv=uv,
-            uv_rect=uv,  # already detected on the rectified image
-            versors=self._versors_from_rect(uv),
+            uv=uv,  # raw (distorted) coords — the tracking domain
+            uv_rect=self._rectify_uv(uv),
+            versors=self._versors_from_raw(uv),
             ids=ids,
             ages=jnp.zeros(cfg.max_features, jnp.int32),
             mask=valid,
@@ -246,20 +297,13 @@ class StereoFrontend:
             kf_count=jnp.int32(1),
         )
         # First keyframe output: stereo-match the fresh detections.
-        right_rect = remap_bilinear(right_img, self.map_right)
+        left_rect = self._remap_left(left_img)
+        right_rect = right_img if cfg.rgbd else self._remap_right(right_img)
         meas, n_stereo = self._stereo_measurements(left_rect, right_rect, feats)
         state = state.replace(lkf_uvd=meas.uvs, lkf_uvd_mask=meas.mask)
         return state, meas
 
     # ------------------------------------------------------------------
-    def _versors_from_rect(self, uv_rect):
-        """Bearing vectors in the rectified-left cam frame from rectified
-        pixel coords (pinhole, no distortion)."""
-        x = (uv_rect[:, 0] - self.stereo.cx) / self.stereo.fx
-        y = (uv_rect[:, 1] - self.stereo.cy) / self.stereo.fy
-        v = jnp.stack([x, y, jnp.ones_like(x)], -1)
-        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-
     def _stereo_measurements(self, left_rect, right_rect, feats):
         """Stereo measurements for the current feature set. In RGB-D mode
         `right_rect` is the DEPTH image: each keypoint's depth is sampled
@@ -345,23 +389,25 @@ class StereoFrontend:
         left_img = left_img.astype(jnp.float32)
         if not cfg.rgbd:
             right_img = right_img.astype(jnp.float32)
-        left_rect = remap_bilinear(left_img, self.map_left)
-        cur_pyr = of.build_pyramid(left_rect, cfg.klt_max_level)
+        cur_pyr = of.build_pyramid(left_img, cfg.klt_max_level)
 
         # 1. Continue PIM accumulation since last keyframe.
         pim = imu.preintegrate(
             self.pim_params, imu_block, state.imu_bias, init=state.pim
         )
 
-        # 2. Rotational flow prediction: body rotation since lkf -> cam.
+        # 2. Rotational flow prediction on RAW pixels: body rotation since
+        # lkf -> left cam frame (the reference predictor also runs on the
+        # distorted frame with the raw K, OpticalFlowPredictor.cpp:70-126).
         R_cam = self.R_cam_body @ pim.delta_R @ self.R_cam_body.T
+        R_cam_raw = self.R_leftcam_body @ pim.delta_R @ self.R_leftcam_body.T
         feats = state.lkf_features
         init_uv = of.predict_flow_rotational(
-            feats.uv_rect,
+            feats.uv,
             feats.mask,
-            R_cam.T,  # warp lkf points into current frame
-            self.K_rect,
-            self.K_rect_inv,
+            R_cam_raw.T,  # warp lkf points into current frame
+            self.K_raw,
+            self.K_raw_inv,
             self.left.width,
             self.left.height,
         )
@@ -373,7 +419,7 @@ class StereoFrontend:
             tracked_uv, ok = klt_track_pallas(
                 list(state.lkf_pyramid),
                 list(cur_pyr),
-                feats.uv_rect,
+                feats.uv,
                 init_uv,
                 feats.mask,
                 win=cfg.klt_win,
@@ -385,7 +431,7 @@ class StereoFrontend:
             tracked_uv, ok = of.klt_track(
                 list(state.lkf_pyramid),
                 list(cur_pyr),
-                feats.uv_rect,
+                feats.uv,
                 init_uv,
                 feats.mask,
                 win=cfg.klt_win,
@@ -396,8 +442,8 @@ class StereoFrontend:
         ok = ok & feats.mask & (feats.ages < cfg.max_feature_age)
         cur_feats = TrackedFeatures(
             uv=tracked_uv,
-            uv_rect=tracked_uv,
-            versors=self._versors_from_rect(tracked_uv),
+            uv_rect=self._rectify_uv(tracked_uv),
+            versors=self._versors_from_raw(tracked_uv),
             ids=jnp.where(ok, feats.ids, -1),
             ages=feats.ages,
             mask=ok,
@@ -405,7 +451,7 @@ class StereoFrontend:
 
         # 4. Keyframe policy (VisionImuFrontend::shouldBeKeyframe).
         dt = stamp - state.lkf_stamp
-        disp = jnp.linalg.norm(tracked_uv - feats.uv_rect, axis=-1)
+        disp = jnp.linalg.norm(tracked_uv - feats.uv, axis=-1)
         disp_ok = ok
         n_ok = ok.sum()
         med_disp = jnp.nanmedian(jnp.where(disp_ok, disp, jnp.nan))
@@ -428,13 +474,13 @@ class StereoFrontend:
         # branches but runs one), which is most frames' saving since
         # keyframes come at ~1/4 the frame rate ---
         def kf_fn(args):
-            state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp = args
+            state, cur_feats, cur_pyr, left_img, right_img, pim, R_cam, stamp = args
             return self._keyframe_branch(
-                state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp
+                state, cur_feats, cur_pyr, left_img, right_img, pim, R_cam, stamp
             )
 
         def nk_fn(args):
-            state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp = args
+            state, cur_feats, cur_pyr, left_img, right_img, pim, R_cam, stamp = args
             nk_state = state.replace(
                 features=cur_feats,
                 cur_pyramid=_stack_pyr(cur_pyr),
@@ -461,7 +507,7 @@ class StereoFrontend:
             return nk_state, dummy_meas, dummy_extras
 
         operands = (
-            state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp
+            state, cur_feats, cur_pyr, left_img, right_img, pim, R_cam, stamp
         )
         new_state, kf_meas, kf_extras = jax.lax.cond(
             is_keyframe, kf_fn, nk_fn, operands
@@ -480,10 +526,11 @@ class StereoFrontend:
 
     # ------------------------------------------------------------------
     def _keyframe_branch(
-        self, state, cur_feats, cur_pyr, left_rect, right_img, pim, R_cam, stamp
+        self, state, cur_feats, cur_pyr, left_img, right_img, pim, R_cam, stamp
     ):
         cfg = self.cfg
-        right_rect = remap_bilinear(right_img, self.map_right)
+        left_rect = self._remap_left(left_img)
+        right_rect = right_img if cfg.rgbd else self._remap_right(right_img)
 
         # 5. Mono RANSAC on lkf<->cur bearing correspondences.
         f_ref = state.lkf_features.versors
@@ -508,8 +555,8 @@ class StereoFrontend:
             # Mono: no stereo matching / 1-pt voting; refill detections and
             # emit NaN-uR measurements.
             uv_new, new_valid = det.detect_features(
-                left_rect,
-                feats_inl.uv_rect,
+                left_img,
+                feats_inl.uv,
                 feats_inl.mask,
                 cfg.max_features,
                 quality_level=cfg.quality_level,
@@ -573,10 +620,11 @@ class StereoFrontend:
             mask=meas_tracked.mask & (stereo_inl | ~both)
         )
 
-        # 8. Re-detect features to refill capacity.
+        # 8. Re-detect features to refill capacity (on the RAW image —
+        # detection coords live in the tracking domain).
         uv_new, new_valid = det.detect_features(
-            left_rect,
-            feats_inl.uv_rect,
+            left_img,
+            feats_inl.uv,
             feats_inl.mask,
             cfg.max_features,
             quality_level=cfg.quality_level,
@@ -626,14 +674,14 @@ class StereoFrontend:
         can = new_valid & (rank < free.sum())
         slot = jnp.where(can, free_slots[jnp.clip(rank, 0, N - 1)], N)
         new_ids = next_id + rank.astype(jnp.int32)
-        uv = feats.uv_rect.at[slot].set(uv_new, mode="drop")
+        uv = feats.uv.at[slot].set(uv_new, mode="drop")  # raw coords
         ids = feats.ids.at[slot].set(jnp.where(can, new_ids, -1), mode="drop")
         ages = feats.ages.at[slot].set(0, mode="drop")
         mask = feats.mask.at[slot].set(True, mode="drop")
         out = TrackedFeatures(
             uv=uv,
-            uv_rect=uv,
-            versors=self._versors_from_rect(uv),
+            uv_rect=self._rectify_uv(uv),
+            versors=self._versors_from_raw(uv),
             ids=ids,
             ages=jnp.where(mask, ages + 1, ages),
             mask=mask,
