@@ -55,27 +55,20 @@ def _gather_windows(img, centers, rows, cols_pow):
 def _level_kernel(
     scal_ref,  # (N, 8) SMEM: [px, py, gx0, gy0, sx, sy, tx, ty] per kp
     valid_ref,  # (N, 1) SMEM int32
-    tmpl_ref,  # (1, TR, 128) VMEM block (this keypoint's template window)
+    tmpl_ref,  # (B, TR, 128) VMEM block (this program's B templates)
     gx_ref,
     gy_ref,
-    search_ref,  # (1, SR, 128) VMEM block
-    out_ref,  # (1, 8, 128) VMEM block; row 0 lanes [x, y, ok, ...]
+    search_ref,  # (B, SR, 128) VMEM block
+    out_ref,  # (B, 8, 128) VMEM block; per kp row 0 lanes [x, y, ok, ...]
     *,
     win: int,
     search_rows: int,
     max_iter: int,
     eps: float,
     min_eig_thresh: float,
+    block: int,
 ):
-    i = pl.program_id(0)
-    px = scal_ref[i, 0]
-    py = scal_ref[i, 1]
-    gx0 = scal_ref[i, 2]
-    gy0 = scal_ref[i, 3]
-    sx = scal_ref[i, 4]
-    sy = scal_ref[i, 5]
-    tx = scal_ref[i, 6]
-    ty = scal_ref[i, 7]
+    prog = pl.program_id(0)
     half = (win - 1) * 0.5
 
     def blend_static(buf2d, fy_, fx_):
@@ -89,86 +82,104 @@ def _level_kernel(
         d = buf2d[1 : win + 1, 1 : win + 1]
         return w00 * a + w01 * b + w10 * c + w11 * d
 
-    # Template / gradients: fractional offset relative to the gathered
-    # integer-aligned window origin (tx, ty).
-    ftx = px - half - tx
-    fty = py - half - ty
-    tmpl = blend_static(tmpl_ref[0], fty, ftx)
-    gx = blend_static(gx_ref[0], fty, ftx)
-    gy = blend_static(gy_ref[0], fty, ftx)
+    def one_kp(j):
+        i = prog * block + j
+        px = scal_ref[i, 0]
+        py = scal_ref[i, 1]
+        gx0 = scal_ref[i, 2]
+        gy0 = scal_ref[i, 3]
+        sx = scal_ref[i, 4]
+        sy = scal_ref[i, 5]
+        tx = scal_ref[i, 6]
+        ty = scal_ref[i, 7]
 
-    gxx = jnp.sum(gx * gx)
-    gxy = jnp.sum(gx * gy)
-    gyy = jnp.sum(gy * gy)
-    det = gxx * gyy - gxy * gxy
-    half_tr = 0.5 * (gxx + gyy)
-    min_eig = (half_tr - jnp.sqrt(jnp.maximum(half_tr**2 - det, 0.0))) / (
-        win * win
-    )
-    # Border keypoints whose gathered window was clamped have fractional
-    # offsets outside [0, 1): their static-slice blend would extrapolate.
-    frac_ok = (ftx >= 0.0) & (ftx < 1.5) & (fty >= 0.0) & (fty < 1.5)
-    good_g = (min_eig > min_eig_thresh) & (valid_ref[i, 0] > 0) & frac_ok
-    safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
-    inv00 = gyy / safe_det
-    inv01 = -gxy / safe_det
-    inv11 = gxx / safe_det
+        # Template / gradients: fractional offset relative to the gathered
+        # integer-aligned window origin (tx, ty).
+        ftx = px - half - tx
+        fty = py - half - ty
+        tmpl = blend_static(tmpl_ref[j], fty, ftx)
+        gx = blend_static(gx_ref[j], fty, ftx)
+        gy = blend_static(gy_ref[j], fty, ftx)
 
-    S = search_ref[0]  # (SR, 128)
-
-    def body(state):
-        it, cx_, cy_, moving, inb = state
-        ox = cx_ - half - sx
-        oy = cy_ - half - sy
-        oxi = jnp.floor(ox).astype(jnp.int32)
-        oyi = jnp.floor(oy).astype(jnp.int32)
-        in_bounds = (
-            (oxi >= 0)
-            & (oyi >= 0)
-            & (oxi <= _LANES - win - 2)
-            & (oyi <= search_rows - win - 2)
+        gxx = jnp.sum(gx * gx)
+        gxy = jnp.sum(gx * gy)
+        gyy = jnp.sum(gy * gy)
+        det = gxx * gyy - gxy * gxy
+        half_tr = 0.5 * (gxx + gyy)
+        min_eig = (half_tr - jnp.sqrt(jnp.maximum(half_tr**2 - det, 0.0))) / (
+            win * win
         )
-        oxi_c = jnp.clip(oxi, 0, _LANES - win - 2)
-        oyi_c = jnp.clip(oyi, 0, search_rows - win - 2)
-        fxx = ox - oxi_c.astype(jnp.float32)
-        fyy = oy - oyi_c.astype(jnp.float32)
-        # Realign: dynamic sublane roll MIScompiles on this toolchain, so
-        # the y-shift is a shift-matrix matmul on the MXU (out[r] =
-        # S[r + oyi]); the x-shift uses the (verified) dynamic lane roll.
-        r_ids = jax.lax.broadcasted_iota(jnp.int32, (search_rows, search_rows), 0)
-        c_ids = jax.lax.broadcasted_iota(jnp.int32, (search_rows, search_rows), 1)
-        P = (c_ids == r_ids + oyi_c).astype(jnp.float32)
-        aligned_y = jax.lax.dot_general(
-            P, S, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        # Border keypoints whose gathered window was clamped have fractional
+        # offsets outside [0, 1): their static-slice blend would extrapolate.
+        frac_ok = (ftx >= 0.0) & (ftx < 1.5) & (fty >= 0.0) & (fty < 1.5)
+        good_g = (min_eig > min_eig_thresh) & (valid_ref[i, 0] > 0) & frac_ok
+        safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+        inv00 = gyy / safe_det
+        inv01 = -gxy / safe_det
+        inv11 = gxx / safe_det
+
+        S = search_ref[j]  # (SR, 128)
+
+        def body(state):
+            it, cx_, cy_, moving, inb = state
+            ox = cx_ - half - sx
+            oy = cy_ - half - sy
+            oxi = jnp.floor(ox).astype(jnp.int32)
+            oyi = jnp.floor(oy).astype(jnp.int32)
+            in_bounds = (
+                (oxi >= 0)
+                & (oyi >= 0)
+                & (oxi <= _LANES - win - 2)
+                & (oyi <= search_rows - win - 2)
+            )
+            oxi_c = jnp.clip(oxi, 0, _LANES - win - 2)
+            oyi_c = jnp.clip(oyi, 0, search_rows - win - 2)
+            fxx = ox - oxi_c.astype(jnp.float32)
+            fyy = oy - oyi_c.astype(jnp.float32)
+            # Realign: dynamic sublane roll MIScompiles on this toolchain,
+            # so the y-shift is a shift-matrix matmul on the MXU (out[r] =
+            # S[r + oyi]); the x-shift uses the (verified) dynamic lane
+            # roll.
+            r_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (search_rows, search_rows), 0
+            )
+            c_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (search_rows, search_rows), 1
+            )
+            P = (c_ids == r_ids + oyi_c).astype(jnp.float32)
+            aligned_y = jax.lax.dot_general(
+                P, S, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            aligned = pltpu.roll(aligned_y, -oxi_c, 1)
+            cur = blend_static(aligned, fyy, fxx)
+            dI = cur - tmpl
+            bx = jnp.sum(dI * gx)
+            by = jnp.sum(dI * gy)
+            dx = -(inv00 * bx + inv01 * by)
+            dy = -(inv01 * bx + inv11 * by)
+            step_ok = moving & good_g & in_bounds
+            nx = jnp.where(step_ok, cx_ + dx, cx_)
+            ny = jnp.where(step_ok, cy_ + dy, cy_)
+            still = (dx * dx + dy * dy) >= eps * eps
+            return it + 1, nx, ny, moving & still, inb & in_bounds
+
+        def cond(state):
+            it, _, _, moving, _ = state
+            return (it < max_iter) & moving
+
+        _, cx_, cy_, _, inb = jax.lax.while_loop(
+            cond, body, (0, gx0, gy0, True, True)
         )
-        aligned = pltpu.roll(aligned_y, -oxi_c, 1)
-        cur = blend_static(aligned, fyy, fxx)
-        dI = cur - tmpl
-        bx = jnp.sum(dI * gx)
-        by = jnp.sum(dI * gy)
-        dx = -(inv00 * bx + inv01 * by)
-        dy = -(inv01 * bx + inv11 * by)
-        step_ok = moving & good_g & in_bounds
-        nx = jnp.where(step_ok, cx_ + dx, cx_)
-        ny = jnp.where(step_ok, cy_ + dy, cy_)
-        still = (dx * dx + dy * dy) >= eps * eps
-        return it + 1, nx, ny, moving & still, inb & in_bounds
+        ok = (good_g & inb).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        return (
+            jnp.where(lane == 0, cx_, 0.0)
+            + jnp.where(lane == 1, cy_, 0.0)
+            + jnp.where(lane == 2, ok, 0.0)
+        )
 
-    def cond(state):
-        it, _, _, moving, _ = state
-        return (it < max_iter) & moving
-
-    _, cx_, cy_, _, inb = jax.lax.while_loop(
-        cond, body, (0, gx0, gy0, True, True)
-    )
-    ok = (good_g & inb).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, _LANES), 2)
-    row = (
-        jnp.where(lane == 0, cx_, 0.0)
-        + jnp.where(lane == 1, cy_, 0.0)
-        + jnp.where(lane == 2, ok, 0.0)
-    )
-    out_ref[...] = row
+    out_ref[...] = jnp.stack([one_kp(j) for j in range(block)], axis=0)
 
 
 def _track_level_pallas(
@@ -217,6 +228,18 @@ def _track_level_pallas(
         axis=-1,
     )
 
+    # Block keypoints per grid program: the TPU grid runs sequentially, so
+    # fewer programs with unrolled per-keypoint work pipeline far better.
+    B = 8
+    Np = ((N + B - 1) // B) * B
+    if Np != N:
+        padn = Np - N
+        scal = jnp.pad(scal, ((0, padn), (0, 0)))
+        valid = jnp.pad(valid, ((0, padn),))
+        T = jnp.pad(T, ((0, padn), (0, 0), (0, 0)))
+        GX = jnp.pad(GX, ((0, padn), (0, 0), (0, 0)))
+        GY = jnp.pad(GY, ((0, padn), (0, 0), (0, 0)))
+        S = jnp.pad(S, ((0, padn), (0, 0), (0, 0)))
     kern = functools.partial(
         _level_kernel,
         win=win,
@@ -224,20 +247,21 @@ def _track_level_pallas(
         max_iter=max_iter,
         eps=eps,
         min_eig_thresh=min_eig_thresh,
+        block=B,
     )
     out = pl.pallas_call(
         kern,
-        grid=(N,),
+        grid=(Np // B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (full)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # valid (full)
-            pl.BlockSpec((1, tr, _LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, tr, _LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, tr, _LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, sr, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, tr, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, tr, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, tr, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, sr, _LANES), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 8, _LANES), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, 8, _LANES), jnp.float32),
+        out_specs=pl.BlockSpec((B, 8, _LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, 8, _LANES), jnp.float32),
         interpret=interpret,
     )(
         scal,
@@ -247,8 +271,8 @@ def _track_level_pallas(
         GY,
         S,
     )
-    pts = out[:, 0, 0:2]
-    ok = out[:, 0, 2] > 0.5
+    pts = out[:N, 0, 0:2]
+    ok = out[:N, 0, 2] > 0.5
     return pts, ok
 
 
