@@ -384,6 +384,8 @@ class StereoImuPipeline:
             self.logger.close()
         if self.frontend_logger:
             self.frontend_logger.close()
+        if verbose:
+            print(self.stats.print_table())
         return out
 
     # ------------------------------------------------------------------
