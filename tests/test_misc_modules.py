@@ -1,0 +1,134 @@
+"""Coverage for the smaller subsystems: visualizer/display artifacts,
+frame cache LRU+disk behavior, flags registry, prefetch iterator, and the
+KITTI provider on a synthetic on-disk fixture."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_visualizer_and_file_display(tmp_path):
+    from kimera_vio_tpu.mesher.mesher import Mesh3D
+    from kimera_vio_tpu.visualizer.visualizer import FileDisplay, Visualizer3D
+
+    viz = Visualizer3D()
+    disp = FileDisplay(str(tmp_path), save_every=1)
+    mesh = Mesh3D(
+        lmk_ids=np.array([[0, 1, 2]]),
+        vertices=np.array([[[0, 0, 1], [1, 0, 1], [0, 1, 1]]], np.float32),
+    )
+    for k in range(3):
+        w = viz.spin_once(
+            np.eye(3), np.array([0.1 * k, 0, 0]),
+            lmk_points=np.array([[0, 0, 2.0], [1, 1, 2.0]]),
+            lmk_valid=np.array([True, True]),
+            lmk_ids=np.array([1, 2]),
+            mesh=mesh,
+        )
+        disp.spin_once(w)
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("pointcloud") for f in files)
+    assert any(f.startswith("mesh") for f in files)
+    # PLY parses: vertex count in header matches body.
+    ply = [f for f in files if f.startswith("mesh")][0]
+    text = open(tmp_path / ply).read()
+    assert "element face 1" in text
+
+
+def test_frame_cache_spills_and_reloads(tmp_path):
+    from kimera_vio_tpu.loopclosure.frame_cache import FrameCache
+
+    c = FrameCache(str(tmp_path), max_in_memory=3)
+    for k in range(8):
+        c.add(k, {"desc": np.full((4, 8), k, np.uint32)})
+    assert len(c._mem) == 3
+    assert 0 in c  # spilled to disk but retrievable
+    got = c.get(0)
+    assert got is not None and got["desc"][0, 0] == 0
+    assert c.get(999) is None
+
+
+def test_flags_registry(monkeypatch):
+    from kimera_vio_tpu.config import flags
+
+    assert flags.get_flag("log_output") is False
+    monkeypatch.setenv("KIMERA_LOG_OUTPUT", "true")
+    assert flags.get_flag("log_output") is True
+    flags.set_flag("initial_k", 42)
+    assert flags.get_flag("initial_k") == 42
+    flags.set_flag("initial_k", None)  # reset for other tests
+    assert "use_lcd" in flags.all_flags()
+
+
+def test_prefetch_iterator_preserves_order_and_errors():
+    from kimera_vio_tpu.utils.prefetch import PrefetchIterator
+
+    out = list(PrefetchIterator(range(20), lambda x: x * 2, depth=3))
+    assert out == [x * 2 for x in range(20)]
+
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("boom")
+        return x
+
+    with pytest.raises(RuntimeError):
+        list(PrefetchIterator(range(10), boom, depth=2))
+
+
+def test_kitti_provider(tmp_path):
+    from kimera_vio_tpu.dataprovider.kitti import KittiDataProvider
+
+    # Build a miniature KITTI raw layout.
+    rng = np.random.default_rng(0)
+    n_frames, n_oxts = 4, 40
+    for cam in ["image_00", "image_01"]:
+        os.makedirs(tmp_path / cam / "data")
+        with open(tmp_path / cam / "timestamps.txt", "w") as f:
+            for k in range(n_frames):
+                f.write(f"2011-09-26 13:02:{10 + k:02d}.000000000\n")
+        import cv2
+
+        for k in range(n_frames):
+            cv2.imwrite(
+                str(tmp_path / cam / "data" / f"{k:010d}.png"),
+                rng.integers(0, 255, (128, 256), dtype=np.uint8),
+            )
+    os.makedirs(tmp_path / "oxts" / "data")
+    with open(tmp_path / "oxts" / "timestamps.txt", "w") as f:
+        for k in range(n_oxts):
+            f.write(f"2011-09-26 13:02:{9.5 + 0.1 * k:012.9f}\n".replace(
+                "13:02:", "13:02:"
+            ))
+    # rewrite timestamps with proper seconds formatting
+    with open(tmp_path / "oxts" / "timestamps.txt", "w") as f:
+        for k in range(n_oxts):
+            total = 9.5 + 0.1 * k
+            f.write(f"2011-09-26 13:02:{total:09.6f}\n")
+    for k in range(n_oxts):
+        row = np.zeros(30)
+        row[11:14] = [0.1, 0.0, 9.81]
+        row[17:20] = [0.0, 0.0, 0.01]
+        np.savetxt(tmp_path / "oxts" / "data" / f"{k:010d}.txt", row[None])
+    p = KittiDataProvider(str(tmp_path))
+    packets = list(p.frames())
+    assert len(packets) >= 3
+    assert packets[1]["imu"] is not None
+    assert np.asarray(packets[1]["imu"].mask).sum() >= 1
+    img = p.load_image(packets[0]["left_path"])
+    assert img.shape == (128, 256)
+
+
+def test_playground(tmp_path):
+    # Synthetic GT-only provider path via a fake EuRoC-like dir is heavy;
+    # exercise the function against MicroEuroc only if it has GT.
+    from kimera_vio_tpu.playground import visualize_gt_data
+
+    micro = "/root/reference/tests/data/MicroEurocDataset"
+    if not os.path.isdir(micro):
+        pytest.skip("fixture missing")
+    try:
+        visualize_gt_data(micro, str(tmp_path))
+        assert False, "MicroEuroc has no GT; should raise"
+    except ValueError:
+        pass
