@@ -76,6 +76,8 @@ class BackendConfig:
     zero_velocity_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0 / np.sqrt(1000.0)))
     no_motion_pos_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0 / np.sqrt(1000.0)))
     no_motion_rot_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0 / np.sqrt(10000.0)))
+    ext_odom_rot_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.05))
+    ext_odom_pos_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.1))
     init_pos_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1e-5))
     init_rp_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.174533))
     init_yaw_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.00174533))
@@ -142,6 +144,10 @@ class Window:
     pim: Pim  # stacked (K, ...); pim[i] connects state i-1 -> i
     pim_valid: jax.Array  # (K,)
     status: jax.Array  # (K,) tracking status at each keyframe
+    # External-odometry relative-pose measurements (slot k: k-1 -> k).
+    ext_R: jax.Array  # (K,3,3)
+    ext_t: jax.Array  # (K,3)
+    ext_valid: jax.Array  # (K,)
     prior_H: jax.Array  # (D,D) marginal prior information
     prior_g: jax.Array  # (D,) gradient of prior at its lin point
     prior_rot: jax.Array  # (K,3,3) prior linearization point
@@ -170,6 +176,9 @@ class Window:
             pim=stack_pim(),
             pim_valid=jnp.zeros((K,), bool),
             status=jnp.zeros((K,), jnp.int32),
+            ext_R=eye,
+            ext_t=z3,
+            ext_valid=jnp.zeros((K,), bool),
             prior_H=jnp.zeros((D, D), dtype),
             prior_g=jnp.zeros((D,), dtype),
             prior_rot=eye,
@@ -340,6 +349,44 @@ def _no_motion_blocks(cfg: BackendConfig, win: Window):
     return Ji * active[:, None, None], Jj * active[:, None, None], r * active[:, None]
 
 
+def _ext_odom_blocks(cfg: BackendConfig, win: Window):
+    """External-odometry between factors on consecutive keyframes
+    (reference VioBackend.cpp:402-420): 6-dim relative-pose residual
+    whitened by the odometry sigmas; same pair layout as the IMU factors.
+    Measurements come from the OdometryBuffer via the data provider."""
+    K = cfg.nr_states
+    active = (win.ext_valid[1:] & win.mask[1:] & win.mask[:-1]).astype(
+        win.pos.dtype
+    )
+
+    def one(k):
+        dR = jnp.swapaxes(win.rot[k - 1], -1, -2) @ win.rot[k]
+        r_rot = geo.so3_log(
+            jnp.swapaxes(win.ext_R[k], -1, -2) @ dR
+        ) / cfg.ext_odom_rot_sigma
+        t_rel = jnp.einsum(
+            "ji,j->i", win.rot[k - 1], win.pos[k] - win.pos[k - 1]
+        )
+        r_pos = (t_rel - win.ext_t[k]) / cfg.ext_odom_pos_sigma
+        # First-order Jacobians (same approximation class as the no-motion
+        # factor; these factors are soft constraints).
+        Jr = geo.so3_right_jacobian_inv(geo.so3_log(dR))
+        RiT = jnp.swapaxes(win.rot[k - 1], -1, -2)
+        Ji = jnp.zeros((6, S_DOF), win.pos.dtype)
+        Jj = jnp.zeros((6, S_DOF), win.pos.dtype)
+        Ji = Ji.at[0:3, _TH].set(-(Jr @ dR.T) / cfg.ext_odom_rot_sigma)
+        Jj = Jj.at[0:3, _TH].set(Jr / cfg.ext_odom_rot_sigma)
+        Ji = Ji.at[3:6, _TH].set(geo.hat(t_rel) / cfg.ext_odom_pos_sigma)
+        Ji = Ji.at[3:6, _P].set(-RiT / cfg.ext_odom_pos_sigma)
+        Jj = Jj.at[3:6, _P].set(RiT / cfg.ext_odom_pos_sigma)
+        r = jnp.concatenate([r_rot, r_pos])
+        return Ji, Jj, r
+
+    ks = jnp.arange(1, K)
+    Ji, Jj, r = jax.vmap(one)(ks)
+    return Ji * active[:, None, None], Jj * active[:, None, None], r * active[:, None]
+
+
 def _smart_factor_blocks(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
     """Linearize + Schur-eliminate all smart stereo landmarks.
 
@@ -488,8 +535,13 @@ def _assemble(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
     H = H.at[:, 0:6, :, 0:6].add(H_pose)
     g = g.at[:, 0:6].add(g_pose)
 
-    # IMU + bias factors, and no-motion factors, share the pair layout.
-    for blocks in (_imu_factor_blocks(cfg, win), _no_motion_blocks(cfg, win)):
+    # IMU + bias factors, no-motion and external-odometry factors share
+    # the consecutive-pair layout.
+    for blocks in (
+        _imu_factor_blocks(cfg, win),
+        _no_motion_blocks(cfg, win),
+        _ext_odom_blocks(cfg, win),
+    ):
         Ji, Jj, r = blocks  # (K-1, rdim, 15) x2, (K-1, rdim)
         i_idx = jnp.arange(K - 1)
         j_idx = i_idx + 1
@@ -559,7 +611,11 @@ def _marginalize_oldest(cfg: BackendConfig, win: Window) -> Window:
     D = K * S_DOF
     H = jnp.zeros((K, S_DOF, K, S_DOF), win.pos.dtype)
     g = jnp.zeros((K, S_DOF), win.pos.dtype)
-    for blocks in (_imu_factor_blocks(cfg, win), _no_motion_blocks(cfg, win)):
+    for blocks in (
+        _imu_factor_blocks(cfg, win),
+        _no_motion_blocks(cfg, win),
+        _ext_odom_blocks(cfg, win),
+    ):
         Ji, Jj, r = blocks
         # Only the pair (0,1) participates (k index 0 of the stacks).
         Ji0, Jj0, r0 = Ji[0], Jj[0], r[0]
@@ -604,6 +660,9 @@ def _marginalize_oldest(cfg: BackendConfig, win: Window) -> Window:
         stamp=shift(win.stamp),
         mask=shift(win.mask).at[K - 1].set(False),
         status=shift(win.status),
+        ext_R=shift(win.ext_R),
+        ext_t=shift(win.ext_t),
+        ext_valid=shift(win.ext_valid).at[K - 1].set(False),
         pim=jax.tree.map(lambda x: jnp.roll(x, -1, axis=0), win.pim),
         pim_valid=shift(win.pim_valid).at[K - 1].set(False),
         n=win.n - 1,
@@ -741,9 +800,14 @@ def backend_step(
     meas_uvd: jax.Array,
     meas_mask: jax.Array,
     status: jax.Array,
+    ext_R_rel: jax.Array | None = None,
+    ext_t_rel: jax.Array | None = None,
+    ext_valid=None,
 ):
     """One keyframe update: predict-insert state, add measurements,
-    optimize, marginalize if the window is full.
+    optimize, marginalize if the window is full. `ext_*` optionally attach
+    an external-odometry relative-pose measurement (last keyframe -> this
+    one; reference addBetweenFactor from external odom).
 
     The jittable core of VioBackend::addVisualInertialStateAndOptimize +
     optimize (VioBackend.cpp:296-428, 1036-1250). Returns
@@ -779,6 +843,21 @@ def backend_step(
             lambda all_, new: all_.at[slot].set(new), win.pim, pim
         ),
         pim_valid=win.pim_valid.at[slot].set(slot > 0),
+        ext_R=(
+            win.ext_R.at[slot].set(ext_R_rel)
+            if ext_R_rel is not None
+            else win.ext_R
+        ),
+        ext_t=(
+            win.ext_t.at[slot].set(ext_t_rel)
+            if ext_t_rel is not None
+            else win.ext_t
+        ),
+        ext_valid=(
+            win.ext_valid.at[slot].set((slot > 0) & ext_valid)
+            if ext_valid is not None
+            else win.ext_valid.at[slot].set(False)
+        ),
         n=jnp.minimum(win.n + 1, K),
     )
     lmk = update_landmarks(lmk, meas_ids, meas_uvd, meas_mask, slot)

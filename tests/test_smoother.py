@@ -182,3 +182,42 @@ def test_noisy_measurements_still_converge():
         )
         errs.append(np.linalg.norm(np.asarray(out["pos"]) - p_gt))
     assert np.median(errs) < 0.05, errs
+
+
+def test_external_odometry_factor():
+    """With vision disabled (no measurements), external odometry between
+    factors must pin the trajectory scale/shape that IMU alone would drift
+    on (reference external-odom factors, VioBackend.cpp:402-420)."""
+    K, L = 6, 64
+    cfg = sm.BackendConfig(nr_states=K, max_landmarks=L, gn_iters=2)
+    win = sm.Window.empty(K)
+    lmk = sm.LandmarkTable.empty(L, K)
+    vel = np.array([0.5, 0, 0], np.float32)
+    nav0 = NavState(rot=jnp.eye(3), pos=jnp.zeros(3), vel=jnp.asarray(vel))
+    win = sm.bootstrap(cfg, win, nav0, jnp.zeros(6), jnp.float32(0.0))
+    pim = constant_velocity_pim(vel)
+    no_meas_ids = -jnp.ones(L, jnp.int32)
+    no_uvd = jnp.zeros((L, 3))
+    no_mask = jnp.zeros(L, bool)
+    for k in range(1, 6):
+        t = k * 0.2
+        win, lmk, out = sm.backend_step(
+            cfg, win, lmk, pim=pim, stamp=jnp.float32(t),
+            meas_ids=no_meas_ids, meas_uvd=no_uvd, meas_mask=no_mask,
+            status=jnp.int32(sm.STATUS_VALID),
+            ext_R_rel=jnp.eye(3),
+            ext_t_rel=jnp.asarray(vel * 0.2),
+            ext_valid=jnp.bool_(True),
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["pos"]), vel * 5 * 0.2, atol=0.03
+    )
+    # From the odometry factor, not just IMU: check the buffer helper too.
+    from kimera_vio_tpu.dataprovider.odometry import OdometryBuffer
+
+    buf = OdometryBuffer()
+    for k in range(10):
+        buf.add(k * int(2e8), np.eye(3), vel * 0.2 * k)
+    rel = buf.relative(0, int(2e8))
+    np.testing.assert_allclose(rel[1], vel * 0.2, atol=1e-9)
+    assert buf.get_nearest(int(1e8), tolerance_ns=int(1e6)) is None
