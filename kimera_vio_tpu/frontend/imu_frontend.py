@@ -112,7 +112,6 @@ def _integrate_step(params: PimParams, carry: Pim, sample) -> tuple[Pim, None]:
     # --- covariance propagation (Forster eq. 63): state [dtheta, dv, dp] ---
     A = jnp.zeros((9, 9), pim.cov.dtype)
     A = A.at[0:3, 0:3].set(dR_inc.T)
-    Ra_hat = geo.hat(Ra)
     Rhat_a = R_k @ geo.hat(a)  # = hat(R a) R (Forster eq. 63: -DR hat(a) dt)
     A = A.at[3:6, 0:3].set(-Rhat_a * dt)
     A = A.at[6:9, 0:3].set(-0.5 * Rhat_a * dt * dt)
@@ -144,10 +143,12 @@ def _integrate_step(params: PimParams, carry: Pim, sample) -> tuple[Pim, None]:
     new_cov = new_cov.at[6:9, 6:9].add(int_cov)
 
     # --- bias Jacobians (Forster eq. 44 supplementary) ---
+    # Right-perturbation convention: R_k(bg+dbg) ~= R_k Exp(dR_dbg dbg), so
+    # d(R_k a)/dbg = -R_k hat(a) dR_dbg (NOT -hat(R_k a) dR_dbg).
     new_dp_dba = pim.dp_dba + pim.dv_dba * dt - 0.5 * R_k * dt * dt
-    new_dp_dbg = pim.dp_dbg + pim.dv_dbg * dt - 0.5 * Ra_hat @ pim.dR_dbg * dt * dt
+    new_dp_dbg = pim.dp_dbg + pim.dv_dbg * dt - 0.5 * Rhat_a @ pim.dR_dbg * dt * dt
     new_dv_dba = pim.dv_dba - R_k * dt
-    new_dv_dbg = pim.dv_dbg - Ra_hat @ pim.dR_dbg * dt
+    new_dv_dbg = pim.dv_dbg - Rhat_a @ pim.dR_dbg * dt
     new_dR_dbg = dR_inc.T @ pim.dR_dbg - Jr * dt
 
     # Masked (dt == 0) samples must be exact no-ops.
@@ -291,9 +292,9 @@ def preintegrate_parallel(
     P_incl = jnp.cumsum(SJr * dt[:, None, None], axis=0)
     P_excl = jnp.concatenate([jnp.zeros((1, 3, 3), a.dtype), P_incl[:-1]])
     dR_dbg_k = -jnp.einsum("kji,kjl->kil", R, P_excl)  # R_k = S_{k-1}
-    hat_Ra = geo.hat(Ra)
-    # dv_dbg = sum_k -hat(R_k a_k) dR_dbg_k dt_k
-    HdR = jnp.einsum("kij,kjl->kil", hat_Ra, dR_dbg_k)
+    # dv_dbg = sum_k -R_k hat(a_k) dR_dbg_k dt_k  (right-perturbation form)
+    Rhat_a = jnp.einsum("kij,kjl->kil", R, geo.hat(a))
+    HdR = jnp.einsum("kij,kjl->kil", Rhat_a, dR_dbg_k)
     dv_dbg = -jnp.einsum("kil,k->il", HdR, dt)
     # dp_dbg = sum_k -hat_k dR_dbg_k dt_k (T - t_k - dt_k/2)
     dp_dbg = -jnp.einsum("kil,k->il", HdR, dt * (T - t - 0.5 * dt))
@@ -301,7 +302,6 @@ def preintegrate_parallel(
     # ---- covariance: suffix products of the 9x9 transitions -------------
     A = jnp.zeros((n, 9, 9), a.dtype)
     A = A.at[:, 0:3, 0:3].set(jnp.swapaxes(dR_inc, -1, -2))
-    Rhat_a = jnp.einsum("kij,kjl->kil", R, geo.hat(a))
     A = A.at[:, 3:6, 0:3].set(-Rhat_a * dt[:, None, None])
     A = A.at[:, 6:9, 0:3].set(-0.5 * Rhat_a * (dt**2)[:, None, None])
     A = A.at[:, 3:6, 3:6].set(eye)

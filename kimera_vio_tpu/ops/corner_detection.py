@@ -105,7 +105,7 @@ def fast_score(img: jax.Array, thresh: float = 10.0) -> jax.Array:
     segment-test score."""
     offsets = [
         (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
-        (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-3, 3),
+        (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-1, 3),
     ]
     H, W = img.shape
     center = img

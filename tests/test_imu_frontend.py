@@ -225,3 +225,72 @@ def test_parallel_matches_sequential_oracle():
     np.testing.assert_allclose(
         np.asarray(par.cov), np.asarray(seq.cov), rtol=2e-3, atol=1e-10
     )
+
+
+def test_bias_jacobians_finite_difference_large_rotation():
+    """Finite-difference check of all five bias Jacobians at HIGH rotation
+    (|w| ~ 1.5 rad/s over 1 s): catches the hat(R a) vs R hat(a) convention
+    error that small-rotation tests miss (advisor round-1 finding)."""
+    rng = np.random.default_rng(7)
+    n = 100
+    acc = rng.normal(0, 3, (n, 3)).astype(np.float32)
+    gyr = (rng.normal(0, 0.3, (n, 3)) + np.array([1.2, -0.8, 0.5])).astype(
+        np.float32
+    )
+    dts = np.full(n, 0.01, np.float32)  # 1 s total, ~1.5 rad/s mean rate
+    block = make_block(acc, gyr, dts)
+    bias0 = ImuBias.zero()
+    pim = imu.preintegrate(PARAMS, block, bias0)
+
+    eps = 1e-3
+    num_dR_dbg = np.zeros((3, 3))
+    num_dv_dbg = np.zeros((3, 3))
+    num_dp_dbg = np.zeros((3, 3))
+    num_dv_dba = np.zeros((3, 3))
+    num_dp_dba = np.zeros((3, 3))
+    for k in range(3):
+        e = np.zeros(3, np.float32)
+        e[k] = eps
+        for sign in (+1, -1):
+            bg = ImuBias(gyro=jnp.asarray(sign * e), accel=jnp.zeros(3))
+            ba = ImuBias(gyro=jnp.zeros(3), accel=jnp.asarray(sign * e))
+            pg = imu.preintegrate(PARAMS, block, bg)
+            pa = imu.preintegrate(PARAMS, block, ba)
+            s = sign / (2 * eps)
+            # right-perturbation rotation derivative: Log(dR0^T dR(b))
+            num_dR_dbg[:, k] += s * np.asarray(
+                geo.so3_log(pim.delta_R.T @ pg.delta_R)
+            )
+            num_dv_dbg[:, k] += s * np.asarray(pg.delta_v - pim.delta_v)
+            num_dp_dbg[:, k] += s * np.asarray(pg.delta_p - pim.delta_p)
+            num_dv_dba[:, k] += s * np.asarray(pa.delta_v - pim.delta_v)
+            num_dp_dba[:, k] += s * np.asarray(pa.delta_p - pim.delta_p)
+
+    scale = lambda M: max(1.0, float(np.abs(M).max()))
+    for name, ana, num in [
+        ("dR_dbg", pim.dR_dbg, num_dR_dbg),
+        ("dv_dbg", pim.dv_dbg, num_dv_dbg),
+        ("dp_dbg", pim.dp_dbg, num_dp_dbg),
+        ("dv_dba", pim.dv_dba, num_dv_dba),
+        ("dp_dba", pim.dp_dba, num_dp_dba),
+    ]:
+        rel = np.abs(np.asarray(ana) - num).max() / scale(num)
+        assert rel < 2e-2, f"{name}: rel err {rel:.4f}\n{np.asarray(ana)}\nvs\n{num}"
+
+
+def test_sequential_bias_jacobians_match_parallel_large_rotation():
+    rng = np.random.default_rng(8)
+    n = 64
+    acc = rng.normal(0, 3, (n, 3)).astype(np.float32)
+    gyr = (rng.normal(0, 0.3, (n, 3)) + np.array([-1.0, 1.3, 0.7])).astype(
+        np.float32
+    )
+    dts = np.full(n, 0.01, np.float32)
+    block = make_block(acc, gyr, dts)
+    ps = imu.preintegrate_sequential(PARAMS, block, ImuBias.zero())
+    pp = imu.preintegrate_parallel(PARAMS, block, ImuBias.zero())
+    for f in ("dR_dbg", "dv_dbg", "dp_dbg", "dv_dba", "dp_dba"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ps, f)), np.asarray(getattr(pp, f)),
+            atol=2e-4, err_msg=f,
+        )
