@@ -165,6 +165,13 @@ class FrontendState:
     next_id: jax.Array  # int32 landmark id counter
     frame_count: jax.Array  # int32
     kf_count: jax.Array
+    # Previous frame's tracking status: the reference keyframes immediately
+    # the FIRST time disparity drops below threshold (disparity_low_first_time,
+    # VisionImuFrontend.cpp:195-209) so zero-velocity factors engage at the
+    # start of a stationary stretch, not after max_intra_kf_time.
+    last_status: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(TRACKING_VALID)
+    )
 
 
 def _stack_pyr(pyr: list[jax.Array]) -> tuple:
@@ -181,9 +188,15 @@ class StereoFrontend:
         self.pim_params = pim_params
         self.left = stereo.left
         H, W = self.left.height, self.left.width
-        # Precompute rectification maps (host once).
+        # Precompute rectification maps (host once). The dense remap runs as
+        # a separable shifted-select resample (SeparableRemap): the generic
+        # per-pixel gather costs ~20 ms/image on TPU, the separable form <1 ms.
+        from kimera_vio_tpu.frontend.camera import SeparableRemap
+
         self.map_left = rectification_map(stereo, stereo.left, stereo.R_rect_l)
         self.map_right = rectification_map(stereo, stereo.right, stereo.R_rect_r)
+        self.sep_remap_left = SeparableRemap(np.asarray(self.map_left))
+        self.sep_remap_right = SeparableRemap(np.asarray(self.map_right))
         # Rectified intrinsics matrix for flow prediction.
         fx, fy = float(stereo.fx), float(stereo.fy)
         cx, cy = float(stereo.cx), float(stereo.cy)
@@ -234,20 +247,33 @@ class StereoFrontend:
         )
 
     def _remap_left(self, img):
-        return img if self.identity_rect else remap_bilinear(img, self.map_left)
+        return img if self.identity_rect else self.sep_remap_left(img)
 
     def _remap_right(self, img):
-        return img if self.identity_rect else remap_bilinear(img, self.map_right)
+        return img if self.identity_rect else self.sep_remap_right(img)
 
     def _versors_from_raw(self, uv_raw):
         """Unit bearing vectors in the RECTIFIED-left frame from raw
         (distorted) pixel coords."""
+        return self._rect_and_versors(uv_raw)[1]
+
+    def _rect_and_versors(self, uv_raw):
+        """(uv_rect, versors) from ONE shared undistortion — the rectified
+        pixel coords and the unit bearing vectors both live on the same
+        undistorted ray (UndistorterRectifier::GetBearingVector +
+        StereoCamera::rectifyLeftKeypoints share cv::undistortPoints)."""
         from kimera_vio_tpu.frontend.camera import undistort_to_normalized
 
         xy = undistort_to_normalized(self.left, uv_raw, iters=10)
         rays = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], axis=-1)
         rays = (self.stereo.R_rect_l @ rays[..., None])[..., 0]
-        return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+        versors = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+        if self.identity_rect:
+            return uv_raw, versors
+        z = jnp.maximum(rays[..., 2], 1e-8)
+        u = self.stereo.fx * rays[..., 0] / z + self.stereo.cx
+        v = self.stereo.fy * rays[..., 1] / z + self.stereo.cy
+        return jnp.stack([u, v], axis=-1), versors
 
     # ------------------------------------------------------------------
     def init_state(self, left_img, right_img, stamp):
@@ -273,10 +299,11 @@ class StereoFrontend:
             do_subpixel=cfg.do_subpixel,
         )
         ids = jnp.where(valid, jnp.arange(cfg.max_features, dtype=jnp.int32), -1)
+        uv_rect0, versors0 = self._rect_and_versors(uv)
         feats = TrackedFeatures(
             uv=uv,  # raw (distorted) coords — the tracking domain
-            uv_rect=self._rectify_uv(uv),
-            versors=self._versors_from_raw(uv),
+            uv_rect=uv_rect0,
+            versors=versors0,
             ids=ids,
             ages=jnp.zeros(cfg.max_features, jnp.int32),
             mask=valid,
@@ -440,10 +467,11 @@ class StereoFrontend:
                 prev_grads=list(state.lkf_grads),
             )
         ok = ok & feats.mask & (feats.ages < cfg.max_feature_age)
+        tracked_rect, tracked_versors = self._rect_and_versors(tracked_uv)
         cur_feats = TrackedFeatures(
             uv=tracked_uv,
-            uv_rect=self._rectify_uv(tracked_uv),
-            versors=self._versors_from_raw(tracked_uv),
+            uv_rect=tracked_rect,
+            versors=tracked_versors,
             ids=jnp.where(ok, feats.ids, -1),
             ages=feats.ages,
             mask=ok,
@@ -460,8 +488,19 @@ class StereoFrontend:
         time_max = dt >= cfg.max_intra_kf_time
         enough_disp = med_disp >= cfg.disparity_threshold
         too_few = n_ok < jnp.maximum(cfg.min_features, 1)
-        is_keyframe = time_max | too_few | (time_min & enough_disp)
         low_disparity = time_min & ~enough_disp & ~too_few
+        # Reference triggers (VisionImuFrontend.cpp:195-209): keyframe on the
+        # FIRST low-disparity frame (so no-motion factors engage immediately)
+        # and when disparity since lkf exceeds max_disparity_since_lkf.
+        first_time_low = state.last_status != TRACKING_LOW_DISPARITY
+        max_disp_reached = med_disp > cfg.max_disparity_since_lkf
+        is_keyframe = (
+            time_max
+            | too_few
+            | (time_min & enough_disp)
+            | (low_disparity & first_time_low)
+            | max_disp_reached
+        )
 
         status = jnp.where(
             low_disparity,
@@ -512,6 +551,20 @@ class StereoFrontend:
         new_state, kf_meas, kf_extras = jax.lax.cond(
             is_keyframe, kf_fn, nk_fn, operands
         )
+        # RANSAC inlier-count gate: too few mono/stereo inliers downgrade the
+        # keyframe status to FEW_MATCHES (reference Tracker marks
+        # FEW_MATCHES/INVALID; min_*_inliers from TrackerParams).
+        ransac_few = is_keyframe & (
+            (kf_extras["n_mono_inliers"] < cfg.min_mono_inliers)
+            | (
+                jnp.bool_(not (cfg.mono or cfg.rgbd))
+                & (kf_extras["n_stereo_inliers"] < cfg.min_stereo_inliers)
+            )
+        )
+        status = jnp.where(
+            ransac_few & (status == TRACKING_VALID), TRACKING_FEW_MATCHES, status
+        )
+        new_state = new_state.replace(last_status=status)
         outputs = {
             "is_keyframe": is_keyframe,
             "status": jnp.where(is_keyframe, status, TRACKING_VALID),
@@ -547,8 +600,11 @@ class StereoFrontend:
                 f_ref, f_cur, pair_mask, key,
                 n_hyp=cfg.n_hyp_mono, threshold=cfg.ransac_threshold_mono,
             )
+        # Trust the RANSAC model only with enough inliers (otherwise keep all
+        # tracks: the reference marks FEW_MATCHES and does not filter).
+        mono_trust = n_mono >= cfg.min_mono_inliers
         feats_inl = cur_feats.replace(
-            mask=cur_feats.mask & (mono_inl | ~pair_mask)
+            mask=cur_feats.mask & (mono_inl | ~pair_mask | ~mono_trust)
         )
 
         if cfg.mono:
@@ -616,8 +672,12 @@ class StereoFrontend:
             p_ref, p_cur, cov_ref, cov_cur, both, R_cam,
             threshold=cfg.ransac_threshold_stereo,
         )
-        meas_final = meas_tracked.replace(
-            mask=meas_tracked.mask & (stereo_inl | ~both)
+        # Remove stereo-RANSAC outlier tracks (reference Tracker marks their
+        # landmarks invalid, Tracker.cpp:856-917) — but only when the model
+        # is trusted (enough inliers).
+        stereo_trust = n_stereo >= cfg.min_stereo_inliers
+        feats_inl = feats_inl.replace(
+            mask=feats_inl.mask & (stereo_inl | ~both | ~stereo_trust)
         )
 
         # 8. Re-detect features to refill capacity (on the RAW image —
@@ -678,10 +738,11 @@ class StereoFrontend:
         ids = feats.ids.at[slot].set(jnp.where(can, new_ids, -1), mode="drop")
         ages = feats.ages.at[slot].set(0, mode="drop")
         mask = feats.mask.at[slot].set(True, mode="drop")
+        uv_rect_m, versors_m = self._rect_and_versors(uv)
         out = TrackedFeatures(
             uv=uv,
-            uv_rect=self._rectify_uv(uv),
-            versors=self._versors_from_raw(uv),
+            uv_rect=uv_rect_m,
+            versors=versors_m,
             ids=ids,
             ages=jnp.where(mask, ages + 1, ages),
             mask=mask,
