@@ -182,7 +182,9 @@ def regular_smart_factor_blocks(
     E = E * row_ok[..., None]
 
     rn = jnp.linalg.norm(r, axis=-1)
-    hw = jnp.where(rn > cfg.huber_k, cfg.huber_k / jnp.maximum(rn, 1e-9), 1.0)
+    ntype = jnp.where(stereo_ok, cfg.stereo_norm_type, cfg.mono_norm_type)
+    nparam = jnp.where(stereo_ok, cfg.stereo_norm_param, cfg.mono_norm_param)
+    hw = sm.robust_weight(rn, ntype, nparam)
     w = obs_mask & ok[:, None]
     sw = jnp.sqrt(hw) * w.astype(r.dtype)
     r = r * sw[..., None]

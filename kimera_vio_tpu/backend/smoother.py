@@ -67,7 +67,14 @@ class BackendConfig:
     min_obs_for_triangulation: int = struct.field(pytree_node=False, default=2)
     # Device-side noise/gate parameters.
     smart_noise_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(3.0))
-    huber_k: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.345))
+    # Robust m-estimator selection per measurement class, from BackendParams
+    # (params/Euroc/BackendParams.yaml:44-56; norm types per
+    # RegularVioBackend::selectNormType: 0=L2, 1=Huber, 2=Tukey). Stereo
+    # observations (finite uR) use the stereo norm, mono rows the mono norm.
+    mono_norm_type: jax.Array = struct.field(default_factory=lambda: jnp.int32(2))
+    mono_norm_param: jax.Array = struct.field(default_factory=lambda: jnp.float32(4.6851))
+    stereo_norm_type: jax.Array = struct.field(default_factory=lambda: jnp.int32(2))
+    stereo_norm_param: jax.Array = struct.field(default_factory=lambda: jnp.float32(4.6851))
     rank_tolerance: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0))
     landmark_distance_threshold: jax.Array = struct.field(default_factory=lambda: jnp.float32(10.0))
     outlier_rejection_px: jax.Array = struct.field(default_factory=lambda: jnp.float32(3.0))
@@ -105,6 +112,10 @@ class BackendConfig:
             max_landmarks=max_landmarks,
             gn_iters=gn_iters,
             smart_noise_sigma=f(backend_params.smart_noise_sigma),
+            mono_norm_type=jnp.int32(backend_params.mono_norm_type),
+            mono_norm_param=f(backend_params.mono_norm_param),
+            stereo_norm_type=jnp.int32(backend_params.stereo_norm_type),
+            stereo_norm_param=f(backend_params.stereo_norm_param),
             rank_tolerance=f(backend_params.rank_tolerance),
             landmark_distance_threshold=f(backend_params.landmark_distance_threshold),
             outlier_rejection_px=f(backend_params.outlier_rejection),
@@ -235,6 +246,21 @@ def local_coords(rot, pos, vel, bias, rot0, pos0, vel0, bias0):
 # ---------------------------------------------------------------------------
 # Factor linearization
 # ---------------------------------------------------------------------------
+
+
+def robust_weight(rn: jax.Array, norm_type: jax.Array, param: jax.Array) -> jax.Array:
+    """IRLS weight w(r) for the configured m-estimator on a whitened residual
+    norm `rn` (reference RegularVioBackend::selectNormType semantics,
+    RegularVioBackend.cpp:1625-1650): 0 = L2 (w=1), 1 = Huber
+    (w = min(1, k/|r|)), 2 = Tukey (w = (1-(r/c)^2)^2 inside, 0 outside).
+    All inputs broadcast; norm_type may vary per element."""
+    safe = jnp.maximum(rn, 1e-9)
+    w_huber = jnp.minimum(1.0, param / safe)
+    u = jnp.clip(1.0 - (rn / param) ** 2, 0.0, 1.0)
+    w_tukey = u * u
+    return jnp.where(
+        norm_type == 1, w_huber, jnp.where(norm_type == 2, w_tukey, 1.0)
+    )
 
 
 def _whiten_from_cov(cov, jitter=1e-12):
@@ -481,9 +507,13 @@ def _smart_factor_blocks(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
     F = F * row_ok[..., None]
     E = E * row_ok[..., None]
 
-    # Huber weights on the whitened 3-vector residual norm.
+    # Robust m-estimator weights on the whitened 3-vector residual norm:
+    # stereo observations use the stereo norm config, mono rows (NaN uR)
+    # the mono norm config (BackendParams mono/stereoNormType/Param).
     rn = jnp.linalg.norm(r, axis=-1)
-    hw = jnp.where(rn > cfg.huber_k, cfg.huber_k / jnp.maximum(rn, 1e-9), 1.0)
+    ntype = jnp.where(stereo_ok, cfg.stereo_norm_type, cfg.mono_norm_type)
+    nparam = jnp.where(stereo_ok, cfg.stereo_norm_param, cfg.mono_norm_param)
+    hw = robust_weight(rn, ntype, nparam)
     w = obs_mask & ok[:, None]
     sw = jnp.sqrt(hw) * w.astype(r.dtype)  # (L,K)
     r = r * sw[..., None]
@@ -568,11 +598,27 @@ def _assemble(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
 
 
 def _gn_solve(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
-    """Run cfg.gn_iters Gauss-Newton iterations in place."""
+    """Run cfg.gn_iters Gauss-Newton iterations in place.
 
-    def body(win, _):
+    Failure detection & recovery (reference VioBackend::updateSmoother's
+    backup-and-recover, VioBackend.cpp:1407-1497): non-finite factor blocks
+    (the IndeterminantLinearSystem analog at f32) are zeroed, and if the
+    Cholesky solve still produces a non-finite step the system is re-solved
+    with heavy Levenberg damping plus a fresh prior pinning the NEWEST state
+    at its PIM-predicted guess — the same "add priors at the failing key and
+    retry" recipe. A still-bad step is rejected entirely (delta = 0), which
+    keeps the window finite no matter what the measurement batch contained.
+    Returns the per-call count of recovered iterations for observability."""
+
+    def body(carry, _):
+        win, n_recovered = carry
         H, g, pts, lmk_ok = _assemble(cfg, win, lmk)
         D = H.shape[0]
+        # Sanitize: one garbage measurement batch must not poison the
+        # whole window (0-weight masking does not stop NaNs).
+        finite_in = jnp.all(jnp.isfinite(H)) & jnp.all(jnp.isfinite(g))
+        H = jnp.where(jnp.isfinite(H), H, 0.0)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
         # Jacobi-preconditioned Cholesky: prior information spans ~1e6..1e0
         # across DoF, beyond raw f32 Cholesky's comfort. Scale to unit
         # diagonal, solve, unscale — standard normal-equation equilibration.
@@ -580,19 +626,44 @@ def _gn_solve(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
         d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-12))
         dinv = 1.0 / d
         Hs = H * dinv[:, None] * dinv[None, :]
-        Hs = Hs + 1e-5 * jnp.eye(D, dtype=H.dtype)
-        L = jnp.linalg.cholesky(Hs)
-        y = -jax.scipy.linalg.cho_solve((L, True), g * dinv)
-        delta = (y * dinv).reshape(cfg.nr_states, S_DOF)
-        delta = delta * win.mask[:, None]
+
+        def solve(damping):
+            A = Hs + damping * jnp.eye(D, dtype=H.dtype)
+            L = jnp.linalg.cholesky(A)
+            y = -jax.scipy.linalg.cho_solve((L, True), g * dinv)
+            return y * dinv
+
+        delta = solve(jnp.float32(1e-5))
+        bad = ~(jnp.all(jnp.isfinite(delta)) & finite_in)
+
+        def recover(_):
+            # Fresh prior at the newest state + heavy damping, then retry.
+            newest = jnp.maximum(win.n - 1, 0)
+            pin = jnp.zeros((cfg.nr_states,), H.dtype).at[newest].set(1.0)
+            extra = jnp.repeat(pin, S_DOF)
+            A = (
+                Hs
+                + jnp.float32(1e-2) * jnp.eye(D, dtype=H.dtype)
+                + jnp.diag(extra)
+            )
+            L = jnp.linalg.cholesky(A)
+            y = -jax.scipy.linalg.cho_solve((L, True), g * dinv)
+            return y * dinv
+
+        delta = jax.lax.cond(bad, recover, lambda _: delta, None)
+        # Last resort: reject the step (keep the PIM-predicted window).
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        delta = delta.reshape(cfg.nr_states, S_DOF) * win.mask[:, None]
         rot, pos, vel, bias = retract_states(
             win.rot, win.pos, win.vel, win.bias, delta
         )
         win = win.replace(rot=rot, pos=pos, vel=vel, bias=bias)
-        return win, (pts, lmk_ok)
+        return (win, n_recovered + bad.astype(jnp.int32)), (pts, lmk_ok)
 
-    win, (pts, lmk_ok) = jax.lax.scan(body, win, None, length=cfg.gn_iters)
-    return win, jax.tree.map(lambda x: x[-1], (pts, lmk_ok))
+    (win, n_recovered), (pts, lmk_ok) = jax.lax.scan(
+        body, (win, jnp.int32(0)), None, length=cfg.gn_iters
+    )
+    return win, jax.tree.map(lambda x: x[-1], (pts, lmk_ok)), n_recovered
 
 
 # ---------------------------------------------------------------------------
@@ -862,7 +933,7 @@ def backend_step(
     )
     lmk = update_landmarks(lmk, meas_ids, meas_uvd, meas_mask, slot)
 
-    win, (pts, lmk_ok) = _gn_solve(cfg, win, lmk)
+    win, (pts, lmk_ok), n_recovered = _gn_solve(cfg, win, lmk)
 
     outputs = {
         "rot": win.rot[slot],
@@ -874,5 +945,8 @@ def backend_step(
         "lmk_points": pts,
         "lmk_valid": lmk_ok,
         "lmk_ids": lmk.ids,
+        # Count of solver iterations that needed the failure-recovery path
+        # (reference updateSmoother backup-and-recover analog).
+        "n_recovered": n_recovered,
     }
     return win, lmk, outputs

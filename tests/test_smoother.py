@@ -221,3 +221,151 @@ def test_external_odometry_factor():
     rel = buf.relative(0, int(2e8))
     np.testing.assert_allclose(rel[1], vel * 0.2, atol=1e-9)
     assert buf.get_nearest(int(1e8), tolerance_ns=int(1e6)) is None
+
+
+def test_robust_norm_weights():
+    """robust_weight implements L2 / Huber / Tukey per norm_type
+    (RegularVioBackend::selectNormType semantics)."""
+    rn = jnp.array([0.5, 2.0, 10.0], jnp.float32)
+    w_l2 = sm.robust_weight(rn, jnp.int32(0), jnp.float32(1.345))
+    np.testing.assert_allclose(np.asarray(w_l2), 1.0)
+    w_h = sm.robust_weight(rn, jnp.int32(1), jnp.float32(1.345))
+    np.testing.assert_allclose(
+        np.asarray(w_h), [1.0, 1.345 / 2.0, 1.345 / 10.0], rtol=1e-6
+    )
+    c = jnp.float32(4.6851)
+    w_t = sm.robust_weight(rn, jnp.int32(2), c)
+    exp = np.where(
+        np.asarray(rn) <= 4.6851,
+        (1 - (np.asarray(rn) / 4.6851) ** 2) ** 2,
+        0.0,
+    )
+    np.testing.assert_allclose(np.asarray(w_t), exp, rtol=1e-5)
+    # Tukey kills gross outliers completely; Huber only down-weights.
+    assert float(w_t[2]) == 0.0 and float(w_h[2]) > 0.0
+
+
+def test_tukey_rejects_planted_outliers_better_than_huber():
+    """Plant gross outlier measurements on a few landmarks: with the Tukey
+    norm (EuRoC default, BackendParams.yaml monoNormType: 2) the trajectory
+    error stays close to the clean run; with pure L2 it degrades much more.
+    Verifies the smoother actually consumes the YAML norm config."""
+
+    step_cache = {}
+
+    def run(norm_type, corrupt):
+        K, n_kf, n_lmk, L = 8, 8, 80, 128
+        cfg = sm.BackendConfig(
+            nr_states=K, max_landmarks=L, gn_iters=3,
+            stereo_norm_type=jnp.int32(norm_type),
+            stereo_norm_param=jnp.float32(4.6851),
+            mono_norm_type=jnp.int32(norm_type),
+            # Disable the hard reprojection gate so the m-estimator itself
+            # (not the dynamic outlier rejection) handles the corruption.
+            outlier_rejection_px=jnp.float32(1e6),
+        )
+        # norm_type is traced: one compiled step serves every variant.
+        if "step" not in step_cache:
+            step_cache["step"] = jax.jit(
+                lambda c, w, l, pim, t, mi, mu, mm: sm.backend_step(
+                    c, w, l, pim=pim, stamp=t, meas_ids=mi, meas_uvd=mu,
+                    meas_mask=mm, status=jnp.int32(sm.STATUS_VALID),
+                ),
+                static_argnames=(),
+            )
+        step = step_cache["step"]
+        win = sm.Window.empty(K)
+        lmk_table = sm.LandmarkTable.empty(L, K)
+        lmk_w = make_world(n_lmk)
+        vel = np.array([1.0, 0, 0], np.float32)
+        dt_kf = 0.2
+        nav0 = NavState(rot=jnp.eye(3), pos=jnp.zeros(3), vel=jnp.asarray(vel))
+        win = sm.bootstrap(cfg, win, nav0, jnp.zeros(6), jnp.float32(0.0))
+        uvd0, vis0 = project_stereo(cfg, np.eye(3), np.zeros(3), lmk_w)
+        ids = np.arange(n_lmk, dtype=np.int32)
+        pad = L - n_lmk
+        meas_ids = jnp.asarray(np.concatenate([ids, np.full(pad, -1, np.int32)]))
+        uvd0p = jnp.asarray(np.concatenate([uvd0, np.zeros((pad, 3), np.float32)]))
+        mask0 = jnp.asarray(np.concatenate([vis0, np.zeros(pad, bool)]))
+        lmk_table = sm.update_landmarks(
+            lmk_table, meas_ids, uvd0p, mask0, jnp.int32(0)
+        )
+        pim = constant_velocity_pim(vel, dt_kf)
+        rng = np.random.default_rng(3)
+        err = 0.0
+        for k in range(1, n_kf):
+            t = k * dt_kf
+            p_gt = vel * t
+            uvd, vis = project_stereo(cfg, np.eye(3), p_gt, lmk_w)
+            if corrupt:
+                # 10% of landmarks get a gross (40 px) corruption.
+                bad = rng.choice(n_lmk, n_lmk // 10, replace=False)
+                uvd[bad, 0] += 40.0
+                uvd[bad, 2] -= 40.0
+            mu = jnp.asarray(
+                np.concatenate([uvd, np.zeros((pad, 3), np.float32)])
+            )
+            mm = jnp.asarray(np.concatenate([vis, np.zeros(pad, bool)]))
+            win, lmk_table, out = step(
+                cfg, win, lmk_table, pim, jnp.float32(t), meas_ids, mu, mm
+            )
+            err = max(err, float(np.linalg.norm(np.asarray(out["pos"]) - p_gt)))
+        return err
+
+    err_l2 = run(0, corrupt=True)
+    err_tukey = run(2, corrupt=True)
+    err_clean = run(2, corrupt=False)
+    # Tukey with outliers should stay near the clean accuracy and beat L2.
+    assert err_tukey < err_l2 * 0.7, (err_tukey, err_l2)
+    assert err_tukey < max(3 * err_clean, 0.05), (err_tukey, err_clean)
+
+
+def test_failure_recovery_keeps_window_finite():
+    """Inject a garbage measurement batch (NaNs + degenerate geometry) and
+    assert the window stays finite — the analog of the reference's
+    updateSmoother backup-and-recover (VioBackend.cpp:1407-1497)."""
+    K, L, n_lmk = 6, 64, 40
+    cfg = sm.BackendConfig(nr_states=K, max_landmarks=L, gn_iters=2,
+                           outlier_rejection_px=jnp.float32(1e6))
+    win = sm.Window.empty(K)
+    lmk_table = sm.LandmarkTable.empty(L, K)
+    nav0 = NavState(rot=jnp.eye(3), pos=jnp.zeros(3),
+                    vel=jnp.asarray([1.0, 0, 0]))
+    win = sm.bootstrap(cfg, win, nav0, jnp.zeros(6), jnp.float32(0.0))
+    lmk_w = make_world(n_lmk)
+    uvd0, vis0 = project_stereo(cfg, np.eye(3), np.zeros(3), lmk_w)
+    pad = L - n_lmk
+    meas_ids = jnp.asarray(
+        np.concatenate([np.arange(n_lmk, dtype=np.int32),
+                        np.full(pad, -1, np.int32)])
+    )
+    uvd0p = jnp.asarray(np.concatenate([uvd0, np.zeros((pad, 3), np.float32)]))
+    mask0 = jnp.asarray(np.concatenate([vis0, np.zeros(pad, bool)]))
+    lmk_table = sm.update_landmarks(lmk_table, meas_ids, uvd0p, mask0, jnp.int32(0))
+    pim = constant_velocity_pim(np.array([1.0, 0, 0], np.float32))
+
+    # Garbage batch: NaN uL/v rows and identical (zero-disparity) uL==uR.
+    bad = np.asarray(uvd0p).copy()
+    bad[: n_lmk // 2, 0] = np.nan
+    bad[: n_lmk // 2, 2] = np.inf
+    bad[n_lmk // 2 : n_lmk, 1] = bad[n_lmk // 2 : n_lmk, 0]  # disparity 0
+    win, lmk_table, out = sm.backend_step(
+        cfg, win, lmk_table, pim=pim, stamp=jnp.float32(0.2),
+        meas_ids=meas_ids, meas_uvd=jnp.asarray(bad), meas_mask=mask0,
+        status=jnp.int32(sm.STATUS_VALID),
+    )
+    assert np.isfinite(np.asarray(out["pos"])).all()
+    assert np.isfinite(np.asarray(win.pos)).all()
+    assert np.isfinite(np.asarray(win.rot)).all()
+
+    # And a subsequent CLEAN keyframe recovers a sane estimate.
+    uvd1, vis1 = project_stereo(cfg, np.eye(3), np.array([0.4, 0, 0]), lmk_w)
+    mu = jnp.asarray(np.concatenate([uvd1, np.zeros((pad, 3), np.float32)]))
+    mm = jnp.asarray(np.concatenate([vis1, np.zeros(pad, bool)]))
+    win, lmk_table, out = sm.backend_step(
+        cfg, win, lmk_table, pim=pim, stamp=jnp.float32(0.4),
+        meas_ids=meas_ids, meas_uvd=mu, meas_mask=mm,
+        status=jnp.int32(sm.STATUS_VALID),
+    )
+    assert np.isfinite(np.asarray(out["pos"])).all()
+    assert np.linalg.norm(np.asarray(out["pos"]) - np.array([0.4, 0, 0])) < 0.5
