@@ -31,6 +31,12 @@ EUROC_PARAMS = "/root/reference/params/Euroc"
 def main():
     import jax
 
+    # The env var alone does not reliably enable the persistent cache on
+    # this backend; set the config explicitly (compiles are 20-40 s over
+    # the axon tunnel — caching them is essential).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from kimera_vio_tpu.config.params import VioParams
     from kimera_vio_tpu.dataprovider.euroc import EurocDataProvider
     from kimera_vio_tpu.dataprovider.synthetic import (

@@ -67,7 +67,7 @@ class ImuSynchronizer:
     returns, for a query interval (t0, t1], the raw samples inside plus an
     interpolated sample exactly at t1, as a fixed-capacity masked block."""
 
-    def __init__(self, stamps_ns: np.ndarray, acc: np.ndarray, gyr: np.ndarray, max_per_block: int = 64):
+    def __init__(self, stamps_ns: np.ndarray, acc: np.ndarray, gyr: np.ndarray, max_per_block: int = 16):
         order = np.argsort(stamps_ns)
         self.t = stamps_ns[order].astype(np.int64)
         self.acc = acc[order].astype(np.float32)
@@ -96,11 +96,25 @@ class ImuSynchronizer:
             ts.append(t1_ns)
         n = len(ts)
         cap = self.max_per_block
-        if n > cap:
-            # Shouldn't happen at nominal rates; keep the most recent ones.
-            ts, accs, gyrs = ts[-cap:], accs[-cap:], gyrs[-cap:]
-            n = cap
         dts = np.diff(np.concatenate([[t0_ns], ts])).astype(np.float64) * 1e-9
+        while n > cap:
+            # Over-long interval (dropped frames / dataset gap): merge
+            # adjacent sample pairs (dt-weighted average) — preserves the
+            # preintegration integral instead of discarding samples.
+            accs_a = np.stack(accs)
+            gyrs_a = np.stack(gyrs)
+            m = n // 2 * 2
+            w = dts[:m].reshape(-1, 2)
+            wsum = np.maximum(w.sum(1, keepdims=True), 1e-12)
+            acc_m = (accs_a[:m].reshape(-1, 2, 3) * w[..., None]).sum(1) / wsum
+            gyr_m = (gyrs_a[:m].reshape(-1, 2, 3) * w[..., None]).sum(1) / wsum
+            dts_m = w.sum(1)
+            if n % 2:
+                acc_m = np.concatenate([acc_m, accs_a[-1:]])
+                gyr_m = np.concatenate([gyr_m, gyrs_a[-1:]])
+                dts_m = np.concatenate([dts_m, dts[-1:]])
+            accs, gyrs, dts = list(acc_m), list(gyr_m), dts_m
+            n = len(accs)
         acc = np.zeros((cap, 3), np.float32)
         gyr = np.zeros((cap, 3), np.float32)
         dt = np.zeros((cap,), np.float32)
@@ -124,7 +138,7 @@ class EurocDataProvider:
         dataset_path: str,
         initial_k: int = 0,
         final_k: int | None = None,
-        max_imu_per_frame: int = 64,
+        max_imu_per_frame: int = 16,
         imu_time_shift_ns: int = 0,
         equalize: bool = False,
     ):

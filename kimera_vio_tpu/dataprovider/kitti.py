@@ -49,7 +49,7 @@ class KittiDataProvider:
         sequence_path: str,
         initial_k: int = 0,
         final_k: int | None = None,
-        max_imu_per_frame: int = 64,
+        max_imu_per_frame: int = 16,
     ):
         self.root = sequence_path
         self.left_stamps = _parse_timestamps(

@@ -100,7 +100,7 @@ class SyntheticStereoProvider:
         fx: float = 450.0,
         baseline: float = 0.11,
         seed: int = 0,
-        max_imu_per_frame: int = 64,
+        max_imu_per_frame: int = 16,
     ):
         self.n_frames = n_frames
         self.width, self.height = width, height

