@@ -85,6 +85,15 @@ class BackendConfig:
     no_motion_rot_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0 / np.sqrt(10000.0)))
     ext_odom_rot_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.05))
     ext_odom_pos_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.1))
+    # Between-stereo factors from the tracker's stereo-RANSAC pose
+    # (addBetweenStereoFactors, VioBackend.cpp:324-336; precisions from
+    # BackendParams.yaml:58-60). Sigma = 1/sqrt(precision); a zero rotation
+    # precision (the EuRoC default) disables the rotation rows.
+    between_rot_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(jnp.inf))
+    between_pos_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.1))
+    # Constant-velocity factor (VioBackend::addConstantVelocityFactor,
+    # :1322-1330; constant_vel_precision). inf sigma = disabled.
+    constant_vel_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(jnp.inf))
     init_pos_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(1e-5))
     init_rp_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.174533))
     init_yaw_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.00174533))
@@ -110,7 +119,11 @@ class BackendConfig:
         return cls(
             nr_states=backend_params.nr_states,
             max_landmarks=max_landmarks,
-            gn_iters=gn_iters,
+            # numOptimize (BackendParams.yaml:69) = extra optimize passes on
+            # top of the base relinearize+solve (VioBackend.cpp:1222-1226).
+            gn_iters=max(
+                gn_iters, 1 + int(getattr(backend_params, "num_optimize", 1))
+            ),
             smart_noise_sigma=f(backend_params.smart_noise_sigma),
             mono_norm_type=jnp.int32(backend_params.mono_norm_type),
             mono_norm_param=f(backend_params.mono_norm_param),
@@ -124,6 +137,22 @@ class BackendConfig:
             zero_velocity_sigma=f(1.0 / np.sqrt(backend_params.zero_velocity_precision)),
             no_motion_pos_sigma=f(1.0 / np.sqrt(backend_params.no_motion_position_precision)),
             no_motion_rot_sigma=f(1.0 / np.sqrt(backend_params.no_motion_rotation_precision)),
+            between_rot_sigma=f(
+                1.0 / np.sqrt(backend_params.between_rotation_precision)
+                if backend_params.between_rotation_precision > 0
+                else np.inf
+            ),
+            between_pos_sigma=f(
+                1.0 / np.sqrt(backend_params.between_translation_precision)
+                if backend_params.between_translation_precision > 0
+                else np.inf
+            ),
+            constant_vel_sigma=f(
+                1.0 / np.sqrt(backend_params.constant_vel_precision)
+                if getattr(backend_params, "use_constant_velocity_factor", False)
+                and backend_params.constant_vel_precision > 0
+                else np.inf
+            ),
             init_pos_sigma=f(backend_params.initial_position_sigma),
             init_rp_sigma=f(backend_params.initial_roll_pitch_sigma),
             init_yaw_sigma=f(backend_params.initial_yaw_sigma),
@@ -159,6 +188,15 @@ class Window:
     ext_R: jax.Array  # (K,3,3)
     ext_t: jax.Array  # (K,3)
     ext_valid: jax.Array  # (K,)
+    # Stereo-RANSAC between measurements (slot k: k-1 -> k, body frame).
+    btw_R: jax.Array  # (K,3,3)
+    btw_t: jax.Array  # (K,3)
+    btw_valid: jax.Array  # (K,)
+    # Increment-chained published pose (W_Pose_B_lkf_from_increments_,
+    # VioBackend.cpp:1348-1373): prev output composed with the smoothed
+    # relative pose — drifts less erratically under relinearization.
+    out_rot: jax.Array  # (3,3)
+    out_pos: jax.Array  # (3,)
     prior_H: jax.Array  # (D,D) marginal prior information
     prior_g: jax.Array  # (D,) gradient of prior at its lin point
     prior_rot: jax.Array  # (K,3,3) prior linearization point
@@ -190,6 +228,11 @@ class Window:
             ext_R=eye,
             ext_t=z3,
             ext_valid=jnp.zeros((K,), bool),
+            btw_R=eye,
+            btw_t=z3,
+            btw_valid=jnp.zeros((K,), bool),
+            out_rot=jnp.eye(3, dtype=dtype),
+            out_pos=jnp.zeros(3, dtype),
             prior_H=jnp.zeros((D, D), dtype),
             prior_g=jnp.zeros((D,), dtype),
             prior_rot=eye,
@@ -375,37 +418,70 @@ def _no_motion_blocks(cfg: BackendConfig, win: Window):
     return Ji * active[:, None, None], Jj * active[:, None, None], r * active[:, None]
 
 
-def _ext_odom_blocks(cfg: BackendConfig, win: Window):
-    """External-odometry between factors on consecutive keyframes
-    (reference VioBackend.cpp:402-420): 6-dim relative-pose residual
-    whitened by the odometry sigmas; same pair layout as the IMU factors.
-    Measurements come from the OdometryBuffer via the data provider."""
+def _between_blocks(cfg, win, mR, mt, mvalid, rot_sigma, pos_sigma):
+    """Relative-pose BetweenFactor rows on consecutive keyframes: 6-dim
+    residual whitened per-axis-class; shared by the external-odometry
+    factors (VioBackend.cpp:402-420) and the stereo-RANSAC between factors
+    (addBetweenStereoFactors, :324-336 / :974-983). An infinite sigma
+    disables that residual class (the reference's precision=0)."""
     K = cfg.nr_states
-    active = (win.ext_valid[1:] & win.mask[1:] & win.mask[:-1]).astype(
-        win.pos.dtype
-    )
+    active = (mvalid[1:] & win.mask[1:] & win.mask[:-1]).astype(win.pos.dtype)
+    w_rot = jnp.where(jnp.isfinite(rot_sigma), 1.0 / rot_sigma, 0.0)
+    w_pos = jnp.where(jnp.isfinite(pos_sigma), 1.0 / pos_sigma, 0.0)
 
     def one(k):
         dR = jnp.swapaxes(win.rot[k - 1], -1, -2) @ win.rot[k]
-        r_rot = geo.so3_log(
-            jnp.swapaxes(win.ext_R[k], -1, -2) @ dR
-        ) / cfg.ext_odom_rot_sigma
+        r_rot = geo.so3_log(jnp.swapaxes(mR[k], -1, -2) @ dR) * w_rot
         t_rel = jnp.einsum(
             "ji,j->i", win.rot[k - 1], win.pos[k] - win.pos[k - 1]
         )
-        r_pos = (t_rel - win.ext_t[k]) / cfg.ext_odom_pos_sigma
+        r_pos = (t_rel - mt[k]) * w_pos
         # First-order Jacobians (same approximation class as the no-motion
         # factor; these factors are soft constraints).
         Jr = geo.so3_right_jacobian_inv(geo.so3_log(dR))
         RiT = jnp.swapaxes(win.rot[k - 1], -1, -2)
         Ji = jnp.zeros((6, S_DOF), win.pos.dtype)
         Jj = jnp.zeros((6, S_DOF), win.pos.dtype)
-        Ji = Ji.at[0:3, _TH].set(-(Jr @ dR.T) / cfg.ext_odom_rot_sigma)
-        Jj = Jj.at[0:3, _TH].set(Jr / cfg.ext_odom_rot_sigma)
-        Ji = Ji.at[3:6, _TH].set(geo.hat(t_rel) / cfg.ext_odom_pos_sigma)
-        Ji = Ji.at[3:6, _P].set(-RiT / cfg.ext_odom_pos_sigma)
-        Jj = Jj.at[3:6, _P].set(RiT / cfg.ext_odom_pos_sigma)
+        Ji = Ji.at[0:3, _TH].set(-(Jr @ dR.T) * w_rot)
+        Jj = Jj.at[0:3, _TH].set(Jr * w_rot)
+        Ji = Ji.at[3:6, _TH].set(geo.hat(t_rel) * w_pos)
+        Ji = Ji.at[3:6, _P].set(-RiT * w_pos)
+        Jj = Jj.at[3:6, _P].set(RiT * w_pos)
         r = jnp.concatenate([r_rot, r_pos])
+        return Ji, Jj, r
+
+    ks = jnp.arange(1, K)
+    Ji, Jj, r = jax.vmap(one)(ks)
+    return Ji * active[:, None, None], Jj * active[:, None, None], r * active[:, None]
+
+
+def _ext_odom_blocks(cfg: BackendConfig, win: Window):
+    return _between_blocks(
+        cfg, win, win.ext_R, win.ext_t, win.ext_valid,
+        cfg.ext_odom_rot_sigma, cfg.ext_odom_pos_sigma,
+    )
+
+
+def _between_stereo_blocks(cfg: BackendConfig, win: Window):
+    return _between_blocks(
+        cfg, win, win.btw_R, win.btw_t, win.btw_valid,
+        cfg.between_rot_sigma, cfg.between_pos_sigma,
+    )
+
+
+def _const_vel_blocks(cfg: BackendConfig, win: Window):
+    """Constant-velocity factor v_k ~ v_{k-1}
+    (VioBackend::addConstantVelocityFactor, :1322-1330). Disabled when
+    constant_vel_sigma is inf."""
+    K = cfg.nr_states
+    w = jnp.where(jnp.isfinite(cfg.constant_vel_sigma),
+                  1.0 / cfg.constant_vel_sigma, 0.0)
+    active = (win.mask[1:] & win.mask[:-1]).astype(win.pos.dtype) * w
+
+    def one(k):
+        r = win.vel[k] - win.vel[k - 1]
+        Ji = jnp.zeros((3, S_DOF), win.pos.dtype).at[:, _V].set(-jnp.eye(3))
+        Jj = jnp.zeros((3, S_DOF), win.pos.dtype).at[:, _V].set(jnp.eye(3))
         return Ji, Jj, r
 
     ks = jnp.arange(1, K)
@@ -571,6 +647,8 @@ def _assemble(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
         _imu_factor_blocks(cfg, win),
         _no_motion_blocks(cfg, win),
         _ext_odom_blocks(cfg, win),
+        _between_stereo_blocks(cfg, win),
+        _const_vel_blocks(cfg, win),
     ):
         Ji, Jj, r = blocks  # (K-1, rdim, 15) x2, (K-1, rdim)
         i_idx = jnp.arange(K - 1)
@@ -686,6 +764,8 @@ def _marginalize_oldest(cfg: BackendConfig, win: Window) -> Window:
         _imu_factor_blocks(cfg, win),
         _no_motion_blocks(cfg, win),
         _ext_odom_blocks(cfg, win),
+        _between_stereo_blocks(cfg, win),
+        _const_vel_blocks(cfg, win),
     ):
         Ji, Jj, r = blocks
         # Only the pair (0,1) participates (k index 0 of the stacks).
@@ -734,6 +814,9 @@ def _marginalize_oldest(cfg: BackendConfig, win: Window) -> Window:
         ext_R=shift(win.ext_R),
         ext_t=shift(win.ext_t),
         ext_valid=shift(win.ext_valid).at[K - 1].set(False),
+        btw_R=shift(win.btw_R),
+        btw_t=shift(win.btw_t),
+        btw_valid=shift(win.btw_valid).at[K - 1].set(False),
         pim=jax.tree.map(lambda x: jnp.roll(x, -1, axis=0), win.pim),
         pim_valid=shift(win.pim_valid).at[K - 1].set(False),
         n=win.n - 1,
@@ -822,6 +905,8 @@ def bootstrap(
         bias=win.bias.at[0].set(bias),
         stamp=win.stamp.at[0].set(stamp),
         mask=win.mask.at[0].set(True),
+        out_rot=nav.rot,
+        out_pos=nav.pos,
         n=jnp.int32(1),
     )
     # Initial prior information on state 0. Sigmas are clamped to 1e-3
@@ -874,6 +959,9 @@ def backend_step(
     ext_R_rel: jax.Array | None = None,
     ext_t_rel: jax.Array | None = None,
     ext_valid=None,
+    btw_R_rel: jax.Array | None = None,
+    btw_t_rel: jax.Array | None = None,
+    btw_valid=None,
 ):
     """One keyframe update: predict-insert state, add measurements,
     optimize, marginalize if the window is full. `ext_*` optionally attach
@@ -929,17 +1017,48 @@ def backend_step(
             if ext_valid is not None
             else win.ext_valid.at[slot].set(False)
         ),
+        btw_R=(
+            win.btw_R.at[slot].set(btw_R_rel)
+            if btw_R_rel is not None
+            else win.btw_R
+        ),
+        btw_t=(
+            win.btw_t.at[slot].set(btw_t_rel)
+            if btw_t_rel is not None
+            else win.btw_t
+        ),
+        btw_valid=(
+            win.btw_valid.at[slot].set((slot > 0) & btw_valid)
+            if btw_valid is not None
+            else win.btw_valid.at[slot].set(False)
+        ),
         n=jnp.minimum(win.n + 1, K),
     )
     lmk = update_landmarks(lmk, meas_ids, meas_uvd, meas_mask, slot)
 
     win, (pts, lmk_ok), n_recovered = _gn_solve(cfg, win, lmk)
 
+    # Dual pose outputs (VioBackend.cpp:1348-1373): the smoothed newest pose
+    # AND an increment-chained pose — previous published pose composed with
+    # the smoothed relative motion of the last two states.
+    prev2 = jnp.maximum(slot - 1, 0)
+    rel_R = jnp.swapaxes(win.rot[prev2], -1, -2) @ win.rot[slot]
+    rel_t = jnp.einsum(
+        "ji,j->i", win.rot[prev2], win.pos[slot] - win.pos[prev2]
+    )
+    inc_rot = jnp.where(slot > 0, win.out_rot @ rel_R, win.rot[slot])
+    inc_pos = jnp.where(
+        slot > 0, win.out_pos + win.out_rot @ rel_t, win.pos[slot]
+    )
+    win = win.replace(out_rot=inc_rot, out_pos=inc_pos)
+
     outputs = {
         "rot": win.rot[slot],
         "pos": win.pos[slot],
         "vel": win.vel[slot],
         "bias": win.bias[slot],
+        "rot_inc": inc_rot,
+        "pos_inc": inc_pos,
         "stamp": stamp,
         "slot": slot,
         "lmk_points": pts,
@@ -950,3 +1069,27 @@ def backend_step(
         "n_recovered": n_recovered,
     }
     return win, lmk, outputs
+
+
+def state_covariance(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
+    """Marginal covariance of the newest state (15x15): invert the full
+    window information onto the newest block (reference
+    VioBackend::computeStateCovariance, :708-723 — gtsam marginals on
+    the joint pose/velocity/bias). Jittable; call on demand."""
+    K = cfg.nr_states
+    D = K * S_DOF
+    H, g, _, _ = _assemble(cfg, win, lmk)
+    # Jacobi equilibration, as in _gn_solve: the window information spans
+    # many orders of magnitude, beyond raw f32 solves.
+    H = 0.5 * (H + H.T)
+    d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-12))
+    dinv = 1.0 / d
+    Hs = H * dinv[:, None] * dinv[None, :] + 1e-6 * jnp.eye(D, dtype=H.dtype)
+    newest = jnp.maximum(win.n - 1, 0)
+    rows = newest * S_DOF + jnp.arange(S_DOF)
+    E = jnp.zeros((D, S_DOF), H.dtype)
+    E = E.at[rows, jnp.arange(S_DOF)].set(1.0)
+    Lc = jnp.linalg.cholesky(Hs)
+    X = jax.scipy.linalg.cho_solve((Lc, True), E * dinv[:, None])
+    cov = (X * dinv[:, None])[rows, :]  # (15,15) marginal block
+    return 0.5 * (cov + cov.T)

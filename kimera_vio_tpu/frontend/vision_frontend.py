@@ -82,6 +82,9 @@ class FrontendConfig:
     mono: bool = struct.field(pytree_node=False, default=False)
     rgbd: bool = struct.field(pytree_node=False, default=False)
     use_pallas_lk: bool = struct.field(pytree_node=False, default=False)
+    # LK implementation: "matmul" (MXU window resampling — fastest on TPU),
+    # "gather" (vmapped dynamic-slice), or "" to follow use_pallas_lk.
+    lk_impl: str = struct.field(pytree_node=False, default="matmul")
     # RGB-D: depth below min or above max -> invalid (RgbdCamera gates).
     depth_min: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.1))
     depth_max: jax.Array = struct.field(default_factory=lambda: jnp.float32(10.0))
@@ -172,6 +175,11 @@ class FrontendState:
     last_status: jax.Array = struct.field(
         default_factory=lambda: jnp.int32(TRACKING_VALID)
     )
+    # Cached LK template stack (matmul LK only): template windows, template
+    # gradients and inverse G matrices per pyramid level, all fixed between
+    # keyframes (see ops/optical_flow.build_lk_templates). Saves the
+    # per-frame template resampling entirely.
+    lkf_templates: tuple = ()
 
 
 def _stack_pyr(pyr: list[jax.Array]) -> tuple:
@@ -237,6 +245,27 @@ class StereoFrontend:
 
         self._process_frame = jax.jit(self._process_frame_impl)
         self._init_state = jax.jit(self._init_state_impl)
+
+    # ------------------------------------------------------------------
+    # LK state-storage policy: the matmul tracker carries a per-keyframe
+    # template cache instead of the full previous pyramid + gradients
+    # (smaller state, no per-frame template work).
+    def _pyr_store(self, pyr):
+        return () if self.cfg.lk_impl == "matmul" else _stack_pyr(pyr)
+
+    def _grads_store(self, grads):
+        return () if self.cfg.lk_impl == "matmul" else tuple(grads)
+
+    def _lk_templates(self, pyr, grads, feats):
+        if self.cfg.lk_impl != "matmul":
+            return ()
+        return of.build_lk_templates(
+            list(pyr),
+            feats.uv,
+            feats.mask,
+            win=self.cfg.klt_win,
+            prev_grads=list(grads),
+        )
 
     # ------------------------------------------------------------------
     def _rectify_uv(self, uv):
@@ -311,9 +340,10 @@ class StereoFrontend:
         state = FrontendState(
             features=feats,
             lkf_features=feats,
-            lkf_pyramid=_stack_pyr(pyr),
-            cur_pyramid=_stack_pyr(pyr),
-            lkf_grads=grads,
+            lkf_pyramid=self._pyr_store(pyr),
+            cur_pyramid=self._pyr_store(pyr),
+            lkf_grads=self._grads_store(grads),
+            lkf_templates=self._lk_templates(pyr, grads, feats),
             pim=imu.Pim.zero(),
             imu_bias=ImuBias.zero(),
             lkf_uvd=jnp.zeros((cfg.max_features, 3), jnp.float32),
@@ -440,22 +470,24 @@ class StereoFrontend:
         )
 
         # 3. LK track lkf -> current (reference tracks kf-to-frame).
-        if cfg.use_pallas_lk:
-            from kimera_vio_tpu.ops.pallas.lk_kernel import klt_track_pallas
-
-            tracked_uv, ok = klt_track_pallas(
-                list(state.lkf_pyramid),
+        if cfg.lk_impl == "matmul":
+            tracked_uv, ok = of.klt_track_cached(
+                state.lkf_templates,
                 list(cur_pyr),
-                feats.uv,
                 init_uv,
                 feats.mask,
                 win=cfg.klt_win,
                 max_iter=cfg.klt_max_iter,
                 eps=cfg.klt_eps,
-                prev_grads=list(state.lkf_grads),
             )
         else:
-            tracked_uv, ok = of.klt_track(
+            if cfg.lk_impl == "pallas" or (cfg.lk_impl == "" and cfg.use_pallas_lk):
+                from kimera_vio_tpu.ops.pallas.lk_kernel import klt_track_pallas
+
+                lk_fn = klt_track_pallas
+            else:
+                lk_fn = of.klt_track
+            tracked_uv, ok = lk_fn(
                 list(state.lkf_pyramid),
                 list(cur_pyr),
                 feats.uv,
@@ -522,7 +554,7 @@ class StereoFrontend:
             state, cur_feats, cur_pyr, left_img, right_img, pim, R_cam, stamp = args
             nk_state = state.replace(
                 features=cur_feats,
-                cur_pyramid=_stack_pyr(cur_pyr),
+                cur_pyramid=self._pyr_store(cur_pyr),
                 pim=pim,
                 frame_count=state.frame_count + 1,
             )
@@ -631,9 +663,10 @@ class StereoFrontend:
                 lkf_features=feats_full,
                 lkf_uvd=meas_out.uvs,
                 lkf_uvd_mask=meas_out.mask,
-                lkf_pyramid=_stack_pyr(cur_pyr),
-                cur_pyramid=_stack_pyr(cur_pyr),
-                lkf_grads=grads,
+                lkf_pyramid=self._pyr_store(cur_pyr),
+                cur_pyramid=self._pyr_store(cur_pyr),
+                lkf_grads=self._grads_store(grads),
+                lkf_templates=self._lk_templates(cur_pyr, grads, feats_full),
                 pim=imu.Pim.zero(state.imu_bias),
                 lkf_stamp=stamp,
                 next_id=next_id,
@@ -706,9 +739,10 @@ class StereoFrontend:
             lkf_features=feats_full,
             lkf_uvd=meas_out.uvs,
             lkf_uvd_mask=meas_out.mask,
-            lkf_pyramid=_stack_pyr(cur_pyr),
-            cur_pyramid=_stack_pyr(cur_pyr),
-            lkf_grads=grads,
+            lkf_pyramid=self._pyr_store(cur_pyr),
+            cur_pyramid=self._pyr_store(cur_pyr),
+            lkf_grads=self._grads_store(grads),
+            lkf_templates=self._lk_templates(cur_pyr, grads, feats_full),
             pim=imu.Pim.zero(state.imu_bias),
             lkf_stamp=stamp,
             next_id=next_id,

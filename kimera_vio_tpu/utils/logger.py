@@ -60,6 +60,94 @@ class FrontendLogger:
         self._f.close()
 
 
+class LcdLogger:
+    """Loop-closure/PGO output CSVs (reference LoopClosureDetectorLogger,
+    src/logging/Logger.cpp:589-595): `traj_pgo.csv` holds the PGO-optimized
+    keyframe trajectory in the same schema evo consumes;
+    `output_lcd_result.csv` one row per accepted loop closure."""
+
+    TRAJ_HEADER = "#timestamp,x,y,z,qw,qx,qy,qz"
+
+    def __init__(self, output_path: str):
+        os.makedirs(output_path, exist_ok=True)
+        self._traj = open(os.path.join(output_path, "traj_pgo.csv"), "w")
+        self._traj.write(self.TRAJ_HEADER + "\n")
+        self._result = open(
+            os.path.join(output_path, "output_lcd_result.csv"), "w"
+        )
+        self._result.write("#query_kf,match_kf,isLoop\n")
+
+    def log_pgo_trajectory(self, stamps_ns, rots, positions):
+        from kimera_vio_tpu.common import geometry as geo
+
+        for s, R, p in zip(stamps_ns, rots, positions):
+            q = np.asarray(geo.rot_to_quat(np.asarray(R, np.float32)))
+            row = [int(s), *np.asarray(p), *q]
+            self._traj.write(
+                ",".join(
+                    f"{x:.9g}" if i else str(x) for i, x in enumerate(row)
+                )
+                + "\n"
+            )
+
+    def log_loop(self, query_kf: int, match_kf: int, is_loop: bool = True):
+        self._result.write(f"{query_kf},{match_kf},{int(is_loop)}\n")
+
+    def close(self):
+        self._traj.close()
+        self._result.close()
+
+
+class MesherLogger:
+    """Per-keyframe mesh serialization (reference MesherLogger /
+    Mesher::serializeMeshes, Mesher.cpp:1658-1669): PLY into
+    `<output>/mesh/`."""
+
+    def __init__(self, output_path: str):
+        self.dir = os.path.join(output_path, "mesh")
+        os.makedirs(self.dir, exist_ok=True)
+        self.count = 0
+
+    def log(self, vertices: np.ndarray, triangles: np.ndarray):
+        path = os.path.join(self.dir, f"mesh_{self.count:05d}.ply")
+        with open(path, "w") as f:
+            f.write(
+                "ply\nformat ascii 1.0\n"
+                f"element vertex {len(vertices)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                f"element face {len(triangles)}\n"
+                "property list uchar int vertex_indices\nend_header\n"
+            )
+            for v in vertices:
+                f.write(f"{v[0]:.5f} {v[1]:.5f} {v[2]:.5f}\n")
+            for t in triangles:
+                f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+        self.count += 1
+
+    def close(self):
+        pass
+
+
+class PipelineLogger:
+    """Overall timing CSV (reference PipelineLogger,
+    output_timingOverall.csv — the Jenkins CI timing-trend artifact,
+    Jenkinsfile:89-95)."""
+
+    def __init__(self, output_path: str):
+        os.makedirs(output_path, exist_ok=True)
+        self._f = open(
+            os.path.join(output_path, "output_timingOverall.csv"), "w"
+        )
+        self._f.write("#n_frames,wall_s,fps,n_keyframes\n")
+
+    def log(self, n_frames: int, wall_s: float, n_keyframes: int):
+        fps = n_frames / wall_s if wall_s > 0 else 0.0
+        self._f.write(f"{n_frames},{wall_s:.3f},{fps:.2f},{n_keyframes}\n")
+
+    def close(self):
+        self._f.close()
+
+
 def compute_ate(
     est_stamps_ns: np.ndarray,
     est_pos: np.ndarray,

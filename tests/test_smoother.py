@@ -369,3 +369,124 @@ def test_failure_recovery_keeps_window_finite():
     )
     assert np.isfinite(np.asarray(out["pos"])).all()
     assert np.linalg.norm(np.asarray(out["pos"]) - np.array([0.4, 0, 0])) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# Backend parity tail: between-stereo factor, constant-velocity factor,
+# dual pose outputs, state covariance export (VERDICT round-1 item 7).
+# ---------------------------------------------------------------------------
+
+
+def test_between_stereo_factor_pulls_translation():
+    """A between-stereo measurement with tight precision pulls the relative
+    translation toward the measured value against a weak smart-factor set
+    (reference addBetweenStereoFactors, VioBackend.cpp:324-336)."""
+    K, L = 4, 16
+    cfg = sm.BackendConfig(
+        nr_states=K, max_landmarks=L, gn_iters=3,
+        between_rot_sigma=jnp.float32(0.01),
+        between_pos_sigma=jnp.float32(0.001),
+    )
+    win = sm.Window.empty(K)
+    lmk_table = sm.LandmarkTable.empty(L, K)
+    nav0 = NavState(rot=jnp.eye(3), pos=jnp.zeros(3), vel=jnp.zeros(3))
+    win = sm.bootstrap(cfg, win, nav0, jnp.zeros(6), jnp.float32(0.0))
+    # No landmarks at all: only IMU (stationary) vs the between factor.
+    no_ids = -jnp.ones(L, jnp.int32)
+    no_uvd = jnp.zeros((L, 3))
+    no_mask = jnp.zeros(L, bool)
+    pim = constant_velocity_pim(np.zeros(3), dt_kf=0.2)
+    btw_t = jnp.asarray(np.array([0.05, 0.0, 0.0], np.float32))
+    win, lmk_table, out = sm.backend_step(
+        cfg, win, lmk_table, pim=pim, stamp=jnp.float32(0.2),
+        meas_ids=no_ids, meas_uvd=no_uvd, meas_mask=no_mask,
+        status=jnp.int32(sm.STATUS_VALID),
+        btw_R_rel=jnp.eye(3), btw_t_rel=btw_t, btw_valid=jnp.bool_(True),
+    )
+    # IMU says stationary; the tight between factor says +5 cm. The solved
+    # relative translation must move clearly toward the measurement.
+    assert out["pos"][0] > 0.02, out["pos"]
+
+
+def test_constant_velocity_factor_smooths_velocity():
+    """With the constant-velocity factor enabled, a spurious velocity jump
+    (from a bad PIM) is damped relative to the unconstrained solve."""
+    K, L = 4, 64
+    n_lmk = 40
+    lmk_w = make_world(n_lmk, span=0.0)
+
+    def run(cv_sigma):
+        cfg = sm.BackendConfig(
+            nr_states=K, max_landmarks=L, gn_iters=2,
+            constant_vel_sigma=jnp.float32(cv_sigma),
+        )
+        win = sm.Window.empty(K)
+        lt = sm.LandmarkTable.empty(L, K)
+        nav0 = NavState(rot=jnp.eye(3), pos=jnp.zeros(3), vel=jnp.zeros(3))
+        win = sm.bootstrap(cfg, win, nav0, jnp.zeros(6), jnp.float32(0.0))
+        uvd0, vis0 = project_stereo(cfg, np.eye(3), np.zeros(3), lmk_w)
+        pad = L - n_lmk
+        ids = jnp.asarray(
+            np.concatenate([np.arange(n_lmk, dtype=np.int32),
+                            np.full(pad, -1, np.int32)])
+        )
+        mu0 = jnp.asarray(np.concatenate([uvd0, np.zeros((pad, 3), np.float32)]))
+        mm0 = jnp.asarray(np.concatenate([vis0, np.zeros(pad, bool)]))
+        lt = sm.update_landmarks(lt, ids, mu0, mm0, jnp.int32(0))
+        # Noisy PIM: gyro clean, but velocity-corrupting accel spike.
+        n = 40
+        acc = np.tile(-GRAVITY, (n, 1)).astype(np.float32)
+        acc[:, 0] += 3.0  # fake 3 m/s^2 bias burst
+        block = ImuBlock(
+            acc=jnp.asarray(acc), gyr=jnp.zeros((n, 3)),
+            dt=jnp.full((n,), 0.005, jnp.float32), mask=jnp.ones((n,), bool),
+        )
+        pim = imu.preintegrate(PIM_PARAMS, block, ImuBias.zero())
+        # Stationary measurements say: no motion.
+        win, lt, out = sm.backend_step(
+            cfg, win, lt, pim=pim, stamp=jnp.float32(0.2),
+            meas_ids=ids, meas_uvd=mu0, meas_mask=mm0,
+            status=jnp.int32(sm.STATUS_VALID),
+        )
+        return float(jnp.linalg.norm(out["vel"]))
+
+    v_free = run(np.inf)
+    v_cv = run(0.01)
+    assert v_cv < v_free * 0.9, (v_cv, v_free)
+
+
+def test_dual_pose_outputs_consistent():
+    """Increment-chained pose tracks the smoothed pose on a clean run
+    (VioBackend.cpp:1348-1373: both published poses agree when the
+    smoother does not re-linearize the past)."""
+    cfg, win, lmk, gt, est, _ = run_sequence(K=8, n_kf=6)
+    # Re-run one more keyframe to compare outputs directly.
+    pim = constant_velocity_pim(np.array([1.0, 0, 0], np.float32))
+    lmk_w = make_world(80)
+    uvd, vis = project_stereo(cfg, np.eye(3), np.array([1.0, 0, 0]) * 1.2, lmk_w)
+    pad = cfg.max_landmarks - 80
+    ids = jnp.asarray(np.concatenate([np.arange(80, dtype=np.int32),
+                                      np.full(pad, -1, np.int32)]))
+    mu = jnp.asarray(np.concatenate([uvd, np.zeros((pad, 3), np.float32)]))
+    mm = jnp.asarray(np.concatenate([vis, np.zeros(pad, bool)]))
+    win, lmk, out = sm.backend_step(
+        cfg, win, lmk, pim=pim, stamp=jnp.float32(1.2),
+        meas_ids=ids, meas_uvd=mu, meas_mask=mm,
+        status=jnp.int32(sm.STATUS_VALID),
+    )
+    assert np.allclose(out["pos"], out["pos_inc"], atol=0.05)
+    dR = np.asarray(geo.so3_log(jnp.asarray(out["rot"]).T @ jnp.asarray(out["rot_inc"])))
+    assert np.linalg.norm(dR) < 0.02
+
+
+def test_state_covariance_export():
+    """Marginal covariance of the newest state is SPD-ish, shrinks with
+    more landmarks, and has sane scale (computeStateCovariance,
+    VioBackend.cpp:708-723)."""
+    cfg, win, lmk, gt, est, _ = run_sequence(K=8, n_kf=6)
+    cov = np.asarray(sm.state_covariance(cfg, win, lmk))
+    d = np.diag(cov)
+    assert np.all(np.isfinite(cov))
+    assert np.all(d > -1e-6), d
+    # position block: well-observed -> below (10 cm)^2
+    assert np.all(d[3:6] < 0.01), d[3:6]
