@@ -251,6 +251,11 @@ class LandmarkTable:
     ids: jax.Array  # (L,) int32, -1 = free slot
     obs_uvd: jax.Array  # (L, K, 3) [uL,uR,v] per window slot
     obs_mask: jax.Array  # (L, K)
+    # Last solve's triangulated world positions (the landmark-map export of
+    # getMapLmkIdsTo3dPointsInTimeHorizon, VioBackend.cpp:550-704) — read
+    # by the frontend's PnP tracking against the backend map.
+    pts: jax.Array  # (L, 3)
+    pts_ok: jax.Array  # (L,)
 
     @classmethod
     def empty(cls, L: int, K: int, dtype=jnp.float32) -> "LandmarkTable":
@@ -258,6 +263,8 @@ class LandmarkTable:
             ids=-jnp.ones((L,), jnp.int32),
             obs_uvd=jnp.zeros((L, K, 3), dtype),
             obs_mask=jnp.zeros((L, K), bool),
+            pts=jnp.zeros((L, 3), dtype),
+            pts_ok=jnp.zeros((L,), bool),
         )
 
 
@@ -871,7 +878,7 @@ def update_landmarks(
     ids = lmk.ids.at[rows_safe].set(meas_ids, mode="drop")
     obs_uvd = lmk.obs_uvd.at[rows_safe, slot].set(meas_uvd, mode="drop")
     obs_mask = lmk.obs_mask.at[rows_safe, slot].set(True, mode="drop")
-    return LandmarkTable(ids=ids, obs_uvd=obs_uvd, obs_mask=obs_mask)
+    return lmk.replace(ids=ids, obs_uvd=obs_uvd, obs_mask=obs_mask)
 
 
 def shift_landmarks(lmk: LandmarkTable) -> LandmarkTable:
@@ -880,7 +887,10 @@ def shift_landmarks(lmk: LandmarkTable) -> LandmarkTable:
     obs_mask = jnp.roll(lmk.obs_mask, -1, axis=1).at[:, -1].set(False)
     alive = obs_mask.any(axis=1)
     ids = jnp.where(alive, lmk.ids, -1)
-    return LandmarkTable(ids=ids, obs_uvd=obs_uvd, obs_mask=obs_mask)
+    return lmk.replace(
+        ids=ids, obs_uvd=obs_uvd, obs_mask=obs_mask,
+        pts_ok=lmk.pts_ok & alive,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -962,6 +972,9 @@ def backend_step(
     btw_R_rel: jax.Array | None = None,
     btw_t_rel: jax.Array | None = None,
     btw_valid=None,
+    guess_R: jax.Array | None = None,
+    guess_t: jax.Array | None = None,
+    guess_valid=None,
 ):
     """One keyframe update: predict-insert state, add measurements,
     optimize, marginalize if the window is full. `ext_*` optionally attach
@@ -989,6 +1002,15 @@ def backend_step(
     prev_nav = NavState(rot=win.rot[prev], pos=win.pos[prev], vel=win.vel[prev])
     prev_bias = ImuBias(accel=win.bias[prev, 0:3], gyro=win.bias[prev, 3:6])
     guess = pim_predict(pim, prev_nav, prev_bias, cfg.n_gravity)
+    # Alternative pose-guess source (pose_guess_source MONO/STEREO/PNP,
+    # addStateValues, VioBackend.cpp:797-891): override the PIM-predicted
+    # pose with the tracker-derived one; velocity stays PIM-predicted.
+    if guess_R is not None:
+        use = jnp.bool_(True) if guess_valid is None else guess_valid
+        guess = guess.replace(
+            rot=jnp.where(use, guess_R, guess.rot),
+            pos=jnp.where(use, guess_t, guess.pos),
+        )
 
     win = win.replace(
         rot=win.rot.at[slot].set(guess.rot),
@@ -1037,6 +1059,10 @@ def backend_step(
     lmk = update_landmarks(lmk, meas_ids, meas_uvd, meas_mask, slot)
 
     win, (pts, lmk_ok), n_recovered = _gn_solve(cfg, win, lmk)
+    # Export the triangulated landmark map into the table for PnP tracking
+    # (getMapLmkIdsTo3dPointsInTimeHorizon -> Tracker landmark map,
+    # VioBackend.cpp:550-704 / Tracker.cpp:1076-1080).
+    lmk = lmk.replace(pts=pts, pts_ok=lmk_ok)
 
     # Dual pose outputs (VioBackend.cpp:1348-1373): the smoothed newest pose
     # AND an increment-chained pose — previous published pose composed with

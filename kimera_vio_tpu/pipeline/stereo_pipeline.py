@@ -134,28 +134,88 @@ class StereoImuPipeline:
         # (addBetweenStereoFactors, VioBackend.cpp:324-336): rotation = PIM
         # gyro rotation (the 1-pt voting solver's given-rotation), translation
         # = the Mahalanobis-voted estimate, moved cam -> body frame.
+        stereo_rel = None
         btw_kwargs = {}
         if (
             self.params.backend.add_between_stereo_factors
-            and not self.frontend_cfg.mono
-        ):
+            or self.params.backend.pose_guess_source == 2
+        ) and not self.frontend_cfg.mono:
             C_R = self.frontend.stereo.R_b_rect
             C_t = self.frontend.stereo.t_b_rect
             R_b = fe_out["pim"].delta_R
             t_b = C_R @ fe_out["t_stereo_vote"] + C_t - R_b @ C_t
-            btw_kwargs = dict(
-                btw_R_rel=R_b,
-                btw_t_rel=t_b,
-                btw_valid=fe_out["n_stereo_inliers"]
+            stereo_rel = (
+                R_b,
+                t_b,
+                fe_out["n_stereo_inliers"]
                 >= self.frontend_cfg.min_stereo_inliers,
             )
+            if self.params.backend.add_between_stereo_factors:
+                btw_kwargs = dict(
+                    btw_R_rel=R_b, btw_t_rel=t_b, btw_valid=stereo_rel[2]
+                )
 
         def do_backend(args):
             win, lmk = args
+            guess_kwargs = {}
+            src = self.params.backend.pose_guess_source
+            prev_slot = jnp.maximum(win.n - 1, 0)
+            if self.params.frontend.use_pnp_tracking or src == 3:
+                # PnP against the backend landmark map (Tracker::pnp,
+                # Tracker.cpp:1163-1270; map export :1076-1080): match
+                # current measurement ids to table rows, solve camera-from-
+                # world, convert to body pose.
+                from kimera_vio_tpu.ops import ransac as rs
+
+                eq = (meas.ids[:, None] == lmk.ids[None, :]) & meas.mask[
+                    :, None
+                ] & (lmk.ids >= 0)[None, :]
+                row = jnp.argmax(eq, axis=1)
+                has3d = eq.any(axis=1) & lmk.pts_ok[row]
+                p_world = lmk.pts[row]
+                xy = jnp.stack(
+                    [
+                        (meas.uvs[:, 0] - self.stereo.cx) / self.stereo.fx,
+                        (meas.uvs[:, 2] - self.stereo.cy) / self.stereo.fy,
+                    ],
+                    -1,
+                )
+                rays = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)
+                bearings = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(7), fe_state.frame_count
+                )
+                R_cw, t_cw, _, n_pnp = rs.ransac_pnp(
+                    p_world, bearings, has3d, key,
+                    focal=float(np.asarray(self.stereo.fx)),
+                )
+                # W_T_body = (W_T_cam) * (B_T_cam)^-1
+                R_wc = jnp.swapaxes(R_cw, -1, -2)
+                p_wc = -R_wc @ t_cw
+                C_R = self.frontend.stereo.R_b_rect
+                C_t = self.frontend.stereo.t_b_rect
+                R_wb = R_wc @ C_R.T
+                p_wb = p_wc - R_wb @ C_t
+                pnp_ok = n_pnp >= jnp.int32(
+                    self.params.frontend.min_pnp_inliers
+                )
+                if src == 3:
+                    guess_kwargs = dict(
+                        guess_R=R_wb, guess_t=p_wb, guess_valid=pnp_ok
+                    )
+            if src == 2 and stereo_rel is not None:
+                # STEREO guess: previous smoothed pose composed with the
+                # stereo-RANSAC relative (VioBackend.cpp:843-862).
+                R_rel, t_rel, rel_ok = stereo_rel
+                gR = win.rot[prev_slot] @ R_rel
+                gt_ = win.pos[prev_slot] + win.rot[prev_slot] @ t_rel
+                guess_kwargs = dict(
+                    guess_R=gR, guess_t=gt_, guess_valid=rel_ok
+                )
             return sm.backend_step(
                 cfg, win, lmk, pim=fe_out["pim"], stamp=stamp,
                 meas_ids=meas.ids, meas_uvd=meas.uvs, meas_mask=meas.mask,
-                status=fe_out["status"], **btw_kwargs,
+                status=fe_out["status"], **btw_kwargs, **guess_kwargs,
             )
 
         def skip_backend(args):

@@ -1,0 +1,103 @@
+"""Wiring tests: dormant-module integrations exercised through the full
+pipeline with an asserted EFFECT (VERDICT round-1 item 4) — PnP tracking,
+pose-guess sources, between-stereo factors, flags gating, logging suite."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from kimera_vio_tpu.dataprovider.synthetic import (
+    SyntheticStereoProvider,
+    synthetic_params,
+)
+from kimera_vio_tpu.pipeline.stereo_pipeline import StereoImuPipeline
+
+N_FRAMES = 30
+
+
+def _run(params, **kw):
+    prov = SyntheticStereoProvider(n_frames=N_FRAMES, vx=0.5)
+    pipe = StereoImuPipeline(params, parallel_run=False, **kw)
+    out = pipe.run(prov)
+    gt = prov.ground_truth
+    est = np.stack(out.positions)
+    gt_interp = np.stack(
+        [
+            np.interp(
+                np.array(out.stamps_ns, np.float64),
+                gt.stamps_ns.astype(np.float64),
+                gt.positions[:, i],
+            )
+            for i in range(3)
+        ],
+        -1,
+    )
+    rmse = float(np.sqrt(((est - gt_interp) ** 2).sum(-1).mean()))
+    return out, rmse, pipe
+
+
+def _params(**over):
+    p = synthetic_params(nr_states=10, max_features=96, max_landmarks=128)
+    for k, v in over.items():
+        setattr(p.backend, k, v) if hasattr(p.backend, k) else setattr(
+            p.frontend, k, v
+        )
+    return p
+
+
+def test_pnp_tracking_wired():
+    """use_pnp_tracking + pose_guess_source=PNP runs PnP against the
+    backend landmark map in-graph and still converges (the effect: the
+    solved trajectory stays near GT with the PnP-sourced initial guess,
+    reference Tracker.cpp:1163-1270 / VioBackend.cpp:797-891)."""
+    p = _params()
+    p.frontend.use_pnp_tracking = True
+    p.frontend.min_pnp_inliers = 10
+    p.backend.pose_guess_source = 3
+    out, rmse, _ = _run(p)
+    assert out.n_keyframes >= 3
+    assert rmse < 0.06, rmse
+
+
+def test_stereo_pose_guess_source():
+    """pose_guess_source=STEREO composes the 1-pt voting relative pose
+    onto the previous state for the insert guess (VioBackend.cpp:843-862)
+    without degrading accuracy."""
+    p = _params()
+    p.backend.pose_guess_source = 2
+    out, rmse, _ = _run(p)
+    assert rmse < 0.06, rmse
+
+
+def test_between_stereo_factors_in_pipeline():
+    """addBetweenStereoFactors=1 threads the voting pose into between
+    factors; clean synthetic data -> accuracy preserved and keyframes
+    carry the factor (reference VioBackend.cpp:324-336)."""
+    p = _params()
+    p.backend.add_between_stereo_factors = True
+    p.backend.between_translation_precision = 100.0
+    out, rmse, _ = _run(p)
+    assert rmse < 0.06, rmse
+
+
+def test_flags_gate_logging(tmp_path):
+    """--log_output/--output_path flags turn on the CSV suite without
+    constructor args (reference gflags tier)."""
+    from kimera_vio_tpu.config import flags
+
+    flags.set_flag("log_output", True)
+    flags.set_flag("output_path", str(tmp_path))
+    try:
+        p = _params()
+        out, rmse, pipe = _run(p)
+    finally:
+        flags.set_flag("log_output", False)
+    files = set(os.listdir(tmp_path))
+    assert "traj_vio.csv" in files
+    assert "output_frontend_stats.csv" in files
+    assert "output_timingOverall.csv" in files
+    # frontend stats: one row per processed frame (minus bootstrap)
+    n_rows = sum(1 for _ in open(tmp_path / "output_frontend_stats.csv")) - 1
+    assert n_rows == out.n_frames - 1
