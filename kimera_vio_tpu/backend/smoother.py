@@ -197,6 +197,12 @@ class Window:
     # relative pose — drifts less erratically under relinearization.
     out_rot: jax.Array  # (3,3)
     out_pos: jax.Array  # (3,)
+    # Last keyframe's ABSOLUTE external-odometry pose (the reference keeps
+    # odom_pose_prev_kf_ to form relative between factors,
+    # VisionImuFrontend.cpp:240-302).
+    odom_R: jax.Array  # (3,3)
+    odom_t: jax.Array  # (3,)
+    odom_valid: jax.Array  # () bool
     prior_H: jax.Array  # (D,D) marginal prior information
     prior_g: jax.Array  # (D,) gradient of prior at its lin point
     prior_rot: jax.Array  # (K,3,3) prior linearization point
@@ -233,6 +239,9 @@ class Window:
             btw_valid=jnp.zeros((K,), bool),
             out_rot=jnp.eye(3, dtype=dtype),
             out_pos=jnp.zeros(3, dtype),
+            odom_R=jnp.eye(3, dtype=dtype),
+            odom_t=jnp.zeros(3, dtype),
+            odom_valid=jnp.bool_(False),
             prior_H=jnp.zeros((D, D), dtype),
             prior_g=jnp.zeros((D,), dtype),
             prior_rot=eye,
@@ -975,6 +984,9 @@ def backend_step(
     guess_R: jax.Array | None = None,
     guess_t: jax.Array | None = None,
     guess_valid=None,
+    odom_R_abs: jax.Array | None = None,
+    odom_t_abs: jax.Array | None = None,
+    odom_valid_abs=None,
 ):
     """One keyframe update: predict-insert state, add measurements,
     optimize, marginalize if the window is full. `ext_*` optionally attach
@@ -1010,6 +1022,21 @@ def backend_step(
         guess = guess.replace(
             rot=jnp.where(use, guess_R, guess.rot),
             pos=jnp.where(use, guess_t, guess.pos),
+        )
+
+    # Absolute external-odometry input: form the keyframe-relative pose
+    # against the previous keyframe's stored odometry pose (reference
+    # VisionImuFrontend::getExternalOdometryRelativeBodyPose,
+    # VisionImuFrontend.cpp:240-302).
+    if odom_R_abs is not None:
+        ov = jnp.bool_(True) if odom_valid_abs is None else odom_valid_abs
+        ext_R_rel = jnp.swapaxes(win.odom_R, -1, -2) @ odom_R_abs
+        ext_t_rel = jnp.einsum("ji,j->i", win.odom_R, odom_t_abs - win.odom_t)
+        ext_valid = win.odom_valid & ov
+        win = win.replace(
+            odom_R=jnp.where(ov, odom_R_abs, win.odom_R),
+            odom_t=jnp.where(ov, odom_t_abs, win.odom_t),
+            odom_valid=win.odom_valid | ov,
         )
 
     win = win.replace(

@@ -85,3 +85,8 @@ define_float(
     "max_triangle_side", 0.5, "Mesher triangle filter (reference gflag)"
 )
 define_bool("log_euroc_gt_data", False, "Also write GT csv when available")
+define_bool(
+    "do_fine_imu_camera_temporal_sync", False,
+    "Run the cross-correlation IMU-camera time aligner at mission start "
+    "(reference VisionImuFrontend InitialTimeAlignment state)",
+)

@@ -574,6 +574,7 @@ class StereoFrontend:
                 "n_mono_inliers": jnp.int32(0),
                 "n_stereo_inliers": jnp.int32(0),
                 "t_stereo_vote": jnp.zeros(3, cur_feats.uv.dtype),
+                "R_stereo": jnp.eye(3, dtype=cur_feats.uv.dtype),
             }
             return nk_state, dummy_meas, dummy_extras
 
@@ -677,6 +678,7 @@ class StereoFrontend:
                 "n_mono_inliers": n_mono,
                 "n_stereo_inliers": jnp.int32(0),
                 "t_stereo_vote": jnp.zeros(3, cur_feats.uv.dtype),
+                "R_stereo": jnp.eye(3, dtype=cur_feats.uv.dtype),
             }
             return kf_state, meas_out, extras
 
@@ -701,10 +703,22 @@ class StereoFrontend:
             self.stereo.fx, self.stereo.fy, self.stereo.cx, self.stereo.cy,
             self.stereo.baseline, state.lkf_uvd, cfg.pixel_sigma,
         )
-        t_vote, stereo_inl, n_stereo = ransac.voting_1pt_stereo(
-            p_ref, p_cur, cov_ref, cov_cur, both, R_cam,
-            threshold=cfg.ransac_threshold_stereo,
-        )
+        if cfg.use_1point_stereo:
+            # 1-pt Mahalanobis voting, rotation from gyro (reference
+            # Tracker custom solver, Tracker.cpp:497-596).
+            t_vote, stereo_inl, n_stereo = ransac.voting_1pt_stereo(
+                p_ref, p_cur, cov_ref, cov_cur, both, R_cam,
+                threshold=cfg.ransac_threshold_stereo,
+            )
+            R_stereo = R_cam
+        else:
+            # 3-pt Arun 3d3d RANSAC: rotation estimated from vision
+            # (Tracker.cpp:667-742; selected by ransac_use_1point_stereo=0).
+            R_stereo, t_vote, stereo_inl, n_stereo = ransac.ransac_3pt_arun(
+                p_ref, p_cur, both,
+                jax.random.fold_in(key, 1),
+                threshold=0.1,
+            )
         # Remove stereo-RANSAC outlier tracks (reference Tracker marks their
         # landmarks invalid, Tracker.cpp:856-917) — but only when the model
         # is trusted (enough inliers).
@@ -753,6 +767,7 @@ class StereoFrontend:
             "n_mono_inliers": n_mono,
             "n_stereo_inliers": n_stereo,
             "t_stereo_vote": t_vote,
+            "R_stereo": R_stereo,
         }
         return kf_state, meas_out, extras
 

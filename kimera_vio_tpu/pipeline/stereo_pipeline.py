@@ -80,6 +80,16 @@ class StereoImuPipeline:
         self.params = params
         self.stereo = self._build_rig(params)
         self.frontend_cfg = self._build_frontend_cfg(params)
+        # Fine IMU-camera temporal sync (reference InitialTimeAlignment
+        # frontend state, gated by --do_fine_imu_camera_temporal_sync):
+        # needs VISION-estimated rotation, so force the 3-pt Arun solver.
+        self._do_time_align = bool(
+            flags.get_flag("do_fine_imu_camera_temporal_sync")
+        )
+        if self._do_time_align:
+            self.frontend_cfg = self.frontend_cfg.replace(
+                use_1point_stereo=False
+            )
         self.pim_params = imu.PimParams.from_params(params.imu)
         self.frontend = StereoFrontend(
             self.frontend_cfg, self.stereo, self.pim_params
@@ -118,7 +128,9 @@ class StereoImuPipeline:
         return cfg
 
     # ------------------------------------------------------------------
-    def _fused_step_impl(self, fe_state, win, lmk, left, right, imu_block, stamp):
+    def _fused_step_impl(
+        self, fe_state, win, lmk, left, right, imu_block, stamp, ext_odom=None
+    ):
         """One fully-fused VIO frame: frontend + (conditional) backend in a
         single device program — ZERO host synchronization per frame. The
         keyframe decision gates the backend with lax.cond on device (the
@@ -139,10 +151,13 @@ class StereoImuPipeline:
         if (
             self.params.backend.add_between_stereo_factors
             or self.params.backend.pose_guess_source == 2
+            or self.params.backend.auto_initialize == 2
         ) and not self.frontend_cfg.mono:
             C_R = self.frontend.stereo.R_b_rect
             C_t = self.frontend.stereo.t_b_rect
-            R_b = fe_out["pim"].delta_R
+            # R_stereo = gyro rotation (1-pt voting) or the Arun-estimated
+            # rotation (3-pt); both in the rectified-cam frame.
+            R_b = C_R @ fe_out["R_stereo"] @ C_R.T
             t_b = C_R @ fe_out["t_stereo_vote"] + C_t - R_b @ C_t
             stereo_rel = (
                 R_b,
@@ -212,10 +227,18 @@ class StereoImuPipeline:
                 guess_kwargs = dict(
                     guess_R=gR, guess_t=gt_, guess_valid=rel_ok
                 )
+            odom_kwargs = {}
+            if ext_odom is not None:
+                odom_kwargs = dict(
+                    odom_R_abs=ext_odom[0],
+                    odom_t_abs=ext_odom[1],
+                    odom_valid_abs=ext_odom[2],
+                )
             return sm.backend_step(
                 cfg, win, lmk, pim=fe_out["pim"], stamp=stamp,
                 meas_ids=meas.ids, meas_uvd=meas.uvs, meas_mask=meas.mask,
                 status=fe_out["status"], **btw_kwargs, **guess_kwargs,
+                **odom_kwargs,
             )
 
         def skip_backend(args):
@@ -269,6 +292,25 @@ class StereoImuPipeline:
             "kp_ids": meas.ids,
             "kp_mask": meas.mask,
         }
+        if getattr(self, "_do_time_align", False):
+            # Visual rotation magnitude for the cross-correlation time
+            # aligner (CrossCorrTimeAligner.cpp; needs VISION-estimated
+            # rotation — the pipeline forces the 3-pt Arun solver then).
+            frame_out["vis_rot_angle"] = jnp.linalg.norm(
+                geo.so3_log(fe_out["R_stereo"])
+            )
+        if self.params.backend.auto_initialize == 2 and stereo_rel is not None:
+            # Extras for the online initializer (initial/initializer.py):
+            # the tracker's keyframe-relative pose + the keyframe PIM.
+            p = fe_out["pim"]
+            frame_out.update(
+                init_R_rel_body=stereo_rel[0],
+                init_t_rel_body=stereo_rel[1],
+                init_pim_delta_R=p.delta_R,
+                init_pim_delta_v=p.delta_v,
+                init_pim_delta_p=p.delta_p,
+                init_pim_dR_dbg=p.dR_dbg,
+            )
         return fe_state, win, lmk, frame_out
 
     # ------------------------------------------------------------------
@@ -529,8 +571,59 @@ class StereoImuPipeline:
         fe_state = None
         t0_ns = None
         pending_outs = []  # (stamp_ns, frame_out) futures, drained at end
+        initializer = None
+        if (
+            self.params.backend.auto_initialize == 2
+            and not self.frontend_cfg.mono
+        ):
+            from kimera_vio_tpu.initial.initializer import OnlineInitializer
+
+            initializer = "pending"  # built after bootstrap (needs R0)
+        # Fine time alignment phase (reference VisionImuFrontend.cpp:50-83 +
+        # the imu_time_shift_update_callback_ feedback into the provider,
+        # StereoImuPipeline.cpp:91-94).
+        aligner = None
+        self.time_shift_estimate_s = None
+        if self._do_time_align:
+            from kimera_vio_tpu.initial.time_alignment import (
+                CrossCorrTimeAligner,
+            )
+
+            aligner = CrossCorrTimeAligner(
+                window_size_s=self.params.imu.time_alignment_window_size_s,
+                variance_threshold_scaling=(
+                    self.params.imu.time_alignment_variance_threshold_scaling
+                ),
+            )
+
+        def feed_aligner(packet, frame_out, stamp_ns):
+            """Returns True when an offset estimate landed (caller resets
+            the estimator, like the reference's post-alignment Bootstrap)."""
+            blk = packet["imu"]
+            gyr = np.asarray(blk.gyr)
+            dts = np.asarray(blk.dt)
+            msk = np.asarray(blk.mask)
+            n_imu = int(msk.sum())
+            for i in range(len(dts)):
+                if msk[i]:
+                    aligner.add_imu(stamp_ns, gyr[i], float(dts[i]))
+            if bool(frame_out["is_keyframe"]):
+                aligner.add_frame_rotation(
+                    stamp_ns, float(frame_out["vis_rot_angle"]), n_imu
+                )
+                est = aligner.attempt_estimation()
+                if est is not None:
+                    self.time_shift_estimate_s = est
+                    if hasattr(provider, "imu_time_shift_ns"):
+                        provider.imu_time_shift_ns = int(est * 1e9)
+                    return True
+            return False
         # Keyframe-paced aux modules (reference Mesher/Lcd/Visualizer
         # modules): fed from a lagged drain so async dispatch stays deep.
+        # External odometry source: a duck-typed provider may expose an
+        # OdometryBuffer as `.odometry` (the reference registers odometry
+        # callbacks on the DataProviderInterface).
+        odom_buf = getattr(provider, "odometry", None)
         mesher = lcd_module = visualizer = display = None
         if self.enable_mesher:
             from kimera_vio_tpu.mesher.mesher import Mesher
@@ -644,6 +737,14 @@ class StereoImuPipeline:
                 )
                 win = sm.bootstrap(cfg=self.backend_cfg, win=win, nav=nav0,
                                    bias=bias0, stamp=jnp.float32(stamp_s))
+                if initializer == "pending":
+                    from kimera_vio_tpu.initial.initializer import (
+                        OnlineInitializer,
+                    )
+
+                    initializer = OnlineInitializer(
+                        self.params.imu.n_gravity, np.asarray(nav0.rot)
+                    )
                 lmk = sm.update_landmarks(
                     lmk, meas0.ids, meas0.uvs, meas0.mask, jnp.int32(0)
                 )
@@ -659,15 +760,83 @@ class StereoImuPipeline:
             imu_block = jax.tree.map(jnp.asarray, packet["imu"])
 
             tic = time.perf_counter()
-            fe_state, win, lmk, frame_out = self._fused_step(
-                fe_state, win, lmk, left, right, imu_block, jnp.float32(stamp_s)
-            )
+            if odom_buf is not None:
+                # External-odometry nearest state for this frame; the
+                # backend forms the keyframe-relative between factor
+                # in-graph (ThreadsafeOdometryBuffer::getNearest ->
+                # VioBackend.cpp:402-420).
+                near = odom_buf.get_nearest(stamp_ns, tolerance_ns=10**8)
+                if near is None:
+                    ext = (jnp.eye(3), jnp.zeros(3), jnp.bool_(False))
+                else:
+                    ext = (
+                        jnp.asarray(near["R"], jnp.float32),
+                        jnp.asarray(near["t"], jnp.float32),
+                        jnp.bool_(True),
+                    )
+                fe_state, win, lmk, frame_out = self._fused_step(
+                    fe_state, win, lmk, left, right, imu_block,
+                    jnp.float32(stamp_s), ext,
+                )
+            else:
+                fe_state, win, lmk, frame_out = self._fused_step(
+                    fe_state, win, lmk, left, right, imu_block,
+                    jnp.float32(stamp_s),
+                )
             if not self.parallel_run:
                 # Sequential determinism anchor: block every frame
                 # (reference parallel_run=0, Pipeline.cpp:197-215).
                 jax.block_until_ready(frame_out["pos"])
             self.stats.add("vio_step [ms]", (time.perf_counter() - tic) * 1e3)
             out.n_frames += 1
+            if aligner is not None:
+                if feed_aligner(packet, frame_out, stamp_ns):
+                    # Offset found: apply to the provider and restart the
+                    # estimator from scratch (reference transitions
+                    # TimeAlignment -> Bootstrap).
+                    aligner = None
+                    fe_state = None
+                    win = sm.Window.empty(K)
+                    lmk = sm.LandmarkTable.empty(L, K)
+                    pending_outs.clear()
+                    out = PipelineOutput()
+                    continue
+            # Online initialization window (autoInitialize: 2): feed the
+            # collector at keyframes; when full, solve the visual-inertial
+            # alignment and re-bootstrap the estimator with the corrected
+            # attitude/velocity/gyro-bias (InitializationBackend::
+            # bundleAdjustmentAndGravityAlignment analog).
+            if initializer not in (None, "pending") and not initializer.done:
+                if bool(frame_out["is_keyframe"]):
+                    fo_np = {
+                        k: np.asarray(v)
+                        for k, v in frame_out.items()
+                        if k.startswith("init_")
+                    }
+                    if initializer.add_keyframe(fo_np, stamp_s):
+                        sol = initializer.solve()
+                        nav = NavState(
+                            rot=jnp.asarray(sol["R0"]),
+                            pos=jnp.asarray(sol["pos0"]),
+                            vel=jnp.asarray(sol["vel"]),
+                        )
+                        bias0 = jnp.concatenate(
+                            [jnp.zeros(3), jnp.asarray(sol["gyro_bias"])]
+                        )
+                        win = sm.Window.empty(K)
+                        lmk = sm.LandmarkTable.empty(L, K)
+                        win = sm.bootstrap(
+                            cfg=self.backend_cfg, win=win, nav=nav,
+                            bias=bias0, stamp=jnp.float32(stamp_s),
+                        )
+                        fe_state = fe_state.replace(
+                            imu_bias=ImuBias(
+                                accel=bias0[0:3], gyro=bias0[3:6]
+                            ),
+                            pim=imu.Pim.zero(
+                                ImuBias(accel=bias0[0:3], gyro=bias0[3:6])
+                            ),
+                        )
             pending_outs.append((stamp_ns, frame_out))
             # Incremental drain (a lag behind the dispatch horizon) keeps
             # host+device memory bounded on long sequences instead of

@@ -34,9 +34,14 @@ def scanbench(name, op, args, reps=32, n_outer=3):
             out = op(*jax.tree.map(lambda a: a + eps if jnp.issubdtype(jnp.asarray(a).dtype, jnp.inexact) else a, args_))
             # Digest feeds the next iteration's perturbation: a true data
             # dependency chain that costs nothing but defeats CSE/hoisting.
-            leaves = [x for x in jax.tree.leaves(out) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)]
-            dig = sum(jnp.sum(x) * 1e-30 for x in leaves)
-            return (dig.astype(jnp.float32), args_), None
+            leaves = [jnp.asarray(x) for x in jax.tree.leaves(out)]
+            dig = jnp.float32(0.0)
+            for x in leaves:
+                if jnp.issubdtype(x.dtype, jnp.inexact):
+                    dig = dig + jnp.sum(x).astype(jnp.float32) * 1e-30
+                else:
+                    dig = dig + jnp.sum(x).astype(jnp.float32) * 1e-30
+            return (dig, args_), None
 
         def run(args_):
             (dig, _), _ = jax.lax.scan(

@@ -103,3 +103,74 @@ def test_time_aligner_recovers_offset():
     est = aligner.attempt_estimation()
     assert est is not None
     assert abs(est - offset_samples / rate) < 2.5 / rate, est
+
+
+def test_online_initializer_corrects_attitude():
+    """OnlineInitializer (initial/initializer.py): relative poses are
+    frame-invariant, so a crude-attitude bootstrap error shows up as a
+    wrongly-oriented gravity estimate; the solved correction must restore
+    the body-frame gravity direction (roll/pitch — yaw stays unobservable,
+    as in the reference InitializationBackend)."""
+    from kimera_vio_tpu.initial.initializer import OnlineInitializer
+
+    R_vis, p_vis, v_gt, pims = simulate(n_frames=8)
+    # Crude world: bootstrap attitude off by 15 deg about x.
+    R_err = np.asarray(
+        geo.so3_exp(jnp.asarray(np.array([0.26, 0.0, 0.0], np.float32)))
+    )
+    init = OnlineInitializer(G, R_err @ R_vis[0], n_kf=8)
+    ready = False
+    stamps = [0.2 * k for k in range(8)]
+    for k in range(8):
+        if k == 0:
+            fo = {}
+        else:
+            Rr = R_vis[k - 1].T @ R_vis[k]
+            tr = R_vis[k - 1].T @ (p_vis[k] - p_vis[k - 1])
+            p = pims[k - 1]
+            fo = dict(
+                init_R_rel_body=Rr,
+                init_t_rel_body=tr,
+                init_pim_delta_R=np.asarray(p.delta_R),
+                init_pim_delta_v=np.asarray(p.delta_v),
+                init_pim_delta_p=np.asarray(p.delta_p),
+                init_pim_dR_dbg=np.asarray(p.dR_dbg),
+            )
+        ready = init.add_keyframe(fo, stamps[k])
+    assert ready
+    sol = init.solve()
+    # Body-frame gravity direction of the corrected attitude matches truth.
+    g_dir = G / np.linalg.norm(G)
+    body_g_est = sol["R0"].T @ g_dir
+    body_g_true = R_vis[-1].T @ g_dir
+    np.testing.assert_allclose(body_g_est, body_g_true, atol=0.03)
+    # Velocity recovered in the corrected world frame.
+    np.testing.assert_allclose(sol["vel"], v_gt[-1], atol=0.1)
+    np.testing.assert_allclose(sol["gyro_bias"], 0.0, atol=0.02)
+
+
+def test_online_initializer_recovers_gyro_bias():
+    from kimera_vio_tpu.initial.initializer import OnlineInitializer
+
+    bg = np.array([0.02, -0.015, 0.01])
+    R_vis, p_vis, v_gt, pims = simulate(n_frames=8, gyro_bias=bg)
+    init = OnlineInitializer(G, R_vis[0], n_kf=8)
+    for k in range(8):
+        if k == 0:
+            fo = {}
+        else:
+            Rr = R_vis[k - 1].T @ R_vis[k]
+            tr = R_vis[k - 1].T @ (p_vis[k] - p_vis[k - 1])
+            p = pims[k - 1]
+            fo = dict(
+                init_R_rel_body=Rr,
+                init_t_rel_body=tr,
+                init_pim_delta_R=np.asarray(p.delta_R),
+                init_pim_delta_v=np.asarray(p.delta_v),
+                init_pim_delta_p=np.asarray(p.delta_p),
+                init_pim_dR_dbg=np.asarray(p.dR_dbg),
+            )
+        ready = init.add_keyframe(fo, 0.2 * k)
+    assert ready
+    sol = init.solve()
+    np.testing.assert_allclose(sol["gyro_bias"], bg, atol=0.005)

@@ -101,3 +101,79 @@ def test_flags_gate_logging(tmp_path):
     # frontend stats: one row per processed frame (minus bootstrap)
     n_rows = sum(1 for _ in open(tmp_path / "output_frontend_stats.csv")) - 1
     assert n_rows == out.n_frames - 1
+
+
+def test_auto_initialize_online():
+    """autoInitialize=2 runs the online visual-inertial alignment: the
+    pipeline bootstraps crude, collects an init window, re-bootstraps with
+    the aligned state, and keeps tracking (InitializationBackend path)."""
+    p = _params()
+    p.backend.auto_initialize = 2
+    prov = SyntheticStereoProvider(n_frames=N_FRAMES, vx=0.5)
+    pipe = StereoImuPipeline(p, parallel_run=False)
+    out = pipe.run(prov)
+    assert out.n_frames == N_FRAMES
+    # Post-init segment must remain bounded: positions move roughly with
+    # the 0.5 m/s GT motion, not explode.
+    est = np.stack(out.positions)
+    assert np.isfinite(est).all()
+    assert np.abs(est[-1]).max() < 3.0
+
+
+def test_time_alignment_phase_smoke():
+    """--do_fine_imu_camera_temporal_sync engages the alignment phase
+    (3-pt Arun rotation export + aligner feed). On a rotation-free
+    sequence the variance gate correctly withholds an estimate and the
+    pipeline completes nominally (reference stays in the TimeAlignment
+    state until excitation)."""
+    from kimera_vio_tpu.config import flags
+
+    flags.set_flag("do_fine_imu_camera_temporal_sync", True)
+    try:
+        p = _params()
+        prov = SyntheticStereoProvider(n_frames=N_FRAMES, vx=0.5)
+        pipe = StereoImuPipeline(p, parallel_run=False)
+        assert not pipe.frontend_cfg.use_1point_stereo  # forced 3-pt
+        out = pipe.run(prov)
+    finally:
+        flags.set_flag("do_fine_imu_camera_temporal_sync", False)
+    assert out.n_frames == N_FRAMES
+    assert pipe.time_shift_estimate_s is None  # no excitation -> gated
+
+
+def test_external_odometry_end_to_end():
+    """A provider-attached OdometryBuffer threads keyframe-relative
+    between factors into the backend in-graph (reference
+    ThreadsafeOdometryBuffer -> VioBackend.cpp:402-420). Effect: with
+    perfect odometry the trajectory stays accurate, and the window's
+    ext factors activate."""
+    from kimera_vio_tpu.dataprovider.odometry import OdometryBuffer
+    from kimera_vio_tpu.common import geometry as geo
+    import jax.numpy as jnp
+
+    p = _params()
+    prov = SyntheticStereoProvider(n_frames=N_FRAMES, vx=0.5)
+    buf = OdometryBuffer()
+    gt = prov.ground_truth
+    for i in range(len(gt.stamps_ns)):
+        R = np.asarray(
+            geo.quat_to_rot(jnp.asarray(gt.quats_wxyz[i], jnp.float32))
+        )
+        buf.add(int(gt.stamps_ns[i]), R, gt.positions[i])
+    prov.odometry = buf
+    pipe = StereoImuPipeline(p, parallel_run=False)
+    out = pipe.run(prov)
+    est = np.stack(out.positions)
+    gt_interp = np.stack(
+        [
+            np.interp(
+                np.array(out.stamps_ns, np.float64),
+                gt.stamps_ns.astype(np.float64),
+                gt.positions[:, i],
+            )
+            for i in range(3)
+        ],
+        -1,
+    )
+    rmse = float(np.sqrt(((est - gt_interp) ** 2).sum(-1).mean()))
+    assert rmse < 0.06, rmse
