@@ -101,6 +101,81 @@ def point_plane_blocks(
     return r, J_pt, J_plane, w
 
 
+def parallel_plane_residual(
+    n1, d1, n2, d2, measured_dist=None, sigma_n=1.0, sigma_d=1.0
+):
+    """ParallelPlaneRegularFactor residuals (reference
+    factors/ParallelPlaneRegularFactor.h):
+
+      * tangent-space variant (measured_dist=None): 2-dim geodesic
+        parallelism error e = B(n1)^T n2 (zero iff the normals agree),
+      * basic variant: adds the plane-distance row
+        e3 = (d2 - d1 - measured_dist).
+
+    Returns (r, J1, J2) with analytic Jacobians in each plane's
+    [2 normal-tangent, 1 distance] coordinates (the layout of
+    `retract_planes`)."""
+    B1 = plane_tangent_basis(n1)  # (3,2)
+    e_n = jnp.einsum("ij,i->j", B1, n2) / sigma_n  # (2,)
+    B2 = plane_tangent_basis(n2)
+    # d e / d delta2_n = B1^T B2 exactly (B2 columns are orthogonal to n2,
+    # so the normalize() projector is the identity on them).
+    J2_n = jnp.einsum("ij,ik->jk", B1, B2) / sigma_n  # (2,2)
+
+    # d e / d delta1_n includes the derivative of n1's tangent basis —
+    # forward-mode through the retraction gives it exactly (2x2 jacfwd of
+    # a tiny closed-form function; fuses into the surrounding graph).
+    def _e1(dl):
+        n1p = n1 + jnp.einsum("ij,j->i", B1, dl)
+        n1p = n1p / jnp.maximum(jnp.linalg.norm(n1p), 1e-9)
+        return jnp.einsum("ij,i->j", plane_tangent_basis(n1p), n2) / sigma_n
+
+    J1_n = jax.jacfwd(_e1)(jnp.zeros(2, n1.dtype))
+    if measured_dist is None:
+        r = e_n
+        J1 = jnp.concatenate([J1_n, jnp.zeros((2, 1), n1.dtype)], axis=1)
+        J2 = jnp.concatenate([J2_n, jnp.zeros((2, 1), n1.dtype)], axis=1)
+        return r, J1, J2
+    e_d = (d2 - d1 - measured_dist) / sigma_d
+    r = jnp.concatenate([e_n, e_d[None]])
+    J1 = jnp.zeros((3, 3), n1.dtype)
+    J1 = J1.at[0:2, 0:2].set(J1_n).at[2, 2].set(-1.0 / sigma_d)
+    J2 = jnp.zeros((3, 3), n1.dtype)
+    J2 = J2.at[0:2, 0:2].set(J2_n).at[2, 2].set(1.0 / sigma_d)
+    return r, J1, J2
+
+
+def parallel_plane_blocks(
+    planes: PlaneStates,
+    pairs: jax.Array,  # (Q,2) int32 plane-index pairs
+    pair_mask: jax.Array,  # (Q,)
+    measured_dists: jax.Array | None = None,  # (Q,) or None
+    sigma_n: float = 0.1,
+    sigma_d: float = 0.1,
+):
+    """Batched parallel-plane regularities between plane pairs. Returns
+    (r (Q,rd), J1 (Q,rd,3), J2 (Q,rd,3), w (Q,))."""
+    i, j = pairs[:, 0], pairs[:, 1]
+    P = planes.normal.shape[0]
+    ic = jnp.clip(i, 0, P - 1)
+    jc = jnp.clip(j, 0, P - 1)
+
+    def one(k):
+        md = None if measured_dists is None else measured_dists[k]
+        return parallel_plane_residual(
+            planes.normal[ic[k]], planes.d[ic[k]],
+            planes.normal[jc[k]], planes.d[jc[k]],
+            measured_dist=md, sigma_n=sigma_n, sigma_d=sigma_d,
+        )
+
+    r, J1, J2 = jax.vmap(one)(jnp.arange(pairs.shape[0]))
+    w = (
+        pair_mask & (i >= 0) & (j >= 0)
+        & planes.mask[ic] & planes.mask[jc]
+    ).astype(planes.normal.dtype)
+    return r * w[:, None], J1 * w[:, None, None], J2 * w[:, None, None], w
+
+
 def regular_smart_factor_blocks(
     cfg: sm.BackendConfig,
     win: sm.Window,

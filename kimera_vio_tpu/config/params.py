@@ -162,6 +162,13 @@ class CameraParams(ParamsBase):
     )  # fu, fv, cu, cv
     distortion_model: str = "radial-tangential"  # radial-tangential|equidistant|none
     distortion_coeffs: np.ndarray = field(default_factory=lambda: np.zeros(4))
+    # OCamCalib omni model extras (reference CameraParams.cpp:62-95).
+    omni_distortion_center: np.ndarray = field(
+        default_factory=lambda: np.zeros(2)
+    )
+    omni_affine: np.ndarray = field(
+        default_factory=lambda: np.array([0.0, 0.0, 1.0])  # c, d, e
+    )
 
     @classmethod
     def from_yaml(cls, path: str) -> "CameraParams":
@@ -178,6 +185,12 @@ class CameraParams(ParamsBase):
             distortion_model=str(d.get("distortion_model", "none")),
             distortion_coeffs=np.asarray(
                 d.get("distortion_coefficients", [0, 0, 0, 0]), float
+            ),
+            omni_distortion_center=np.asarray(
+                d.get("omni_distortion_center", [0.0, 0.0]), float
+            ),
+            omni_affine=np.asarray(
+                d.get("omni_affine", [0.0, 0.0, 1.0]), float
             ),
         )
 

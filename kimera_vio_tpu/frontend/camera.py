@@ -33,6 +33,7 @@ from kimera_vio_tpu.config.params import CameraParams
 DIST_NONE = 0
 DIST_RADTAN = 1
 DIST_EQUIDISTANT = 2
+DIST_OMNI = 3  # OCamCalib (Scaramuzza) polynomial fisheye
 
 _DIST_CODES = {
     "none": DIST_NONE,
@@ -41,6 +42,7 @@ _DIST_CODES = {
     "radtan": DIST_RADTAN,
     "equidistant": DIST_EQUIDISTANT,
     "kannala_brandt": DIST_EQUIDISTANT,
+    "omni": DIST_OMNI,
 }
 
 
@@ -55,9 +57,17 @@ class PinholeCamera:
     fy: jax.Array
     cx: jax.Array
     cy: jax.Array
-    dist: jax.Array  # (4,) distortion coefficients
+    dist: jax.Array  # (5,) distortion coefficients (omni uses all 5)
     R_bc: jax.Array  # (3,3) body-from-camera rotation
     t_bc: jax.Array  # (3,) body-from-camera translation
+    # OCamCalib omni model data (CameraParams.cpp:62-95): pixel ->
+    # sensor-plane affine inverse + distortion center.
+    omni_center: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros(2, jnp.float32)
+    )
+    omni_affine_inv: jax.Array = struct.field(
+        default_factory=lambda: jnp.eye(2, dtype=jnp.float32)
+    )
     dist_model: int = struct.field(pytree_node=False, default=DIST_RADTAN)
     width: int = struct.field(pytree_node=False, default=752)
     height: int = struct.field(pytree_node=False, default=480)
@@ -65,17 +75,38 @@ class PinholeCamera:
     @classmethod
     def from_params(cls, p: CameraParams) -> "PinholeCamera":
         f = lambda x: jnp.asarray(x, jnp.float32)
-        d = np.zeros(4)
-        d[: min(4, len(p.distortion_coeffs))] = p.distortion_coeffs[:4]
+        d = np.zeros(5)
+        d[: min(5, len(p.distortion_coeffs))] = p.distortion_coeffs[:5]
+        model = (
+            DIST_OMNI
+            if getattr(p, "camera_model", "pinhole") == "omni"
+            else _DIST_CODES[p.distortion_model]
+        )
+        center = np.zeros(2)
+        affine = np.eye(2)
+        intr = np.asarray(p.intrinsics, np.float64)
+        if model == DIST_OMNI:
+            center = np.asarray(p.omni_distortion_center, np.float64)
+            # omni_affine yaml = [c, d, e]; A = [[1, c], [d, e]]
+            c_, d_, e_ = p.omni_affine
+            affine = np.linalg.inv(np.array([[1.0, c_], [d_, e_]]))
+            if intr.size < 4:
+                # "intrinsics: [] must be empty for omni" (fixture yaml):
+                # pixel mapping runs through the affine+center instead.
+                intr = np.array(
+                    [1.0, 1.0, float(center[0]), float(center[1])]
+                )
         return cls(
-            fx=f(p.intrinsics[0]),
-            fy=f(p.intrinsics[1]),
-            cx=f(p.intrinsics[2]),
-            cy=f(p.intrinsics[3]),
+            fx=f(intr[0]),
+            fy=f(intr[1]),
+            cx=f(intr[2]),
+            cy=f(intr[3]),
             dist=f(d),
             R_bc=f(p.T_BS[:3, :3]),
             t_bc=f(p.T_BS[:3, 3]),
-            dist_model=_DIST_CODES[p.distortion_model],
+            omni_center=f(center),
+            omni_affine_inv=f(affine),
+            dist_model=model,
             width=p.width,
             height=p.height,
         )
@@ -115,11 +146,65 @@ def distort(cam: PinholeCamera, xy: jax.Array) -> jax.Array:
     return xy * scale[..., None]
 
 
+def _omni_poly(cam: PinholeCamera, rho: jax.Array) -> jax.Array:
+    """OCamCalib z-polynomial f(rho) via Horner (BackProjectOmni,
+    Camera.cpp: coefficients a0..a4)."""
+    d = cam.dist
+    z = d[4]
+    z = d[3] + z * rho
+    z = d[2] + z * rho
+    z = d[1] + z * rho
+    return d[0] + z * rho
+
+
+def omni_backproject_normalized(cam: PinholeCamera, uv: jax.Array) -> jax.Array:
+    """Omni pixels -> normalized coords (x/z, y/z): affine-correct around
+    the distortion center, evaluate the polynomial for z
+    (Camera::BackProjectOmni)."""
+    rect = jnp.einsum(
+        "ij,...j->...i", cam.omni_affine_inv, uv - cam.omni_center
+    )
+    rho = jnp.linalg.norm(rect, axis=-1)
+    z = _omni_poly(cam, rho)
+    safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    return rect / safe_z[..., None]
+
+
+def omni_project(cam: PinholeCamera, p_cam: jax.Array, iters: int = 12):
+    """Omni projection by Newton inversion of the radial polynomial
+    (beyond the reference, which leaves projectOmni unimplemented —
+    Camera.cpp:196-198): solve m*f(rho) - z*rho = 0 for rho, where m is
+    the in-plane norm of the camera point."""
+    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    m = jnp.sqrt(x * x + y * y)
+    d = cam.dist
+    rho = jnp.full_like(m, 100.0)  # generic fisheye starting radius
+    for _ in range(iters):
+        f = _omni_poly(cam, rho)
+        df = d[1] + rho * (2 * d[2] + rho * (3 * d[3] + rho * 4 * d[4]))
+        g = m * f - z * rho
+        dg = m * df - z
+        rho = rho - g / jnp.where(jnp.abs(dg) < 1e-9, 1e-9, dg)
+    scale = jnp.where(m > 1e-9, rho / jnp.maximum(m, 1e-9), 0.0)
+    rect = jnp.stack([x * scale, y * scale], -1)
+    affine = jnp.linalg.inv(cam.omni_affine_inv)
+    uv = jnp.einsum("ij,...j->...i", affine, rect) + cam.omni_center
+    valid = (
+        (uv[..., 0] >= 0)
+        & (uv[..., 0] < cam.width)
+        & (uv[..., 1] >= 0)
+        & (uv[..., 1] < cam.height)
+    )
+    return uv, valid
+
+
 def project(cam: PinholeCamera, p_cam: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Project camera-frame points (...,3) to distorted pixels (...,2).
 
     Returns (uv, valid) where valid = in front of camera and inside image
     (reference Camera::project + visibility checks, Camera.cpp:50-141)."""
+    if cam.dist_model == DIST_OMNI:
+        return omni_project(cam, p_cam)
     z = p_cam[..., 2]
     safe_z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
     xy = p_cam[..., 0:2] / safe_z[..., None]
@@ -143,6 +228,8 @@ def undistort_to_normalized(
     """Invert the distortion: pixels (...,2) -> undistorted normalized
     coords. Fixed-iteration Newton/fixed-point, the batched equivalent of
     cv::undistortPoints (used by UndistorterRectifier.cpp:213-230)."""
+    if cam.dist_model == DIST_OMNI:
+        return omni_backproject_normalized(cam, uv)
     xd = (uv[..., 0] - cam.cx) / cam.fx
     yd = (uv[..., 1] - cam.cy) / cam.fy
     target = jnp.stack([xd, yd], axis=-1)

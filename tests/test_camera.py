@@ -215,3 +215,73 @@ def test_separable_remap_matches_gather_remap():
     err = np.abs(ref[4:-4, 4:-4] - out[4:-4, 4:-4])
     assert err.max() < 0.35, err.max()
     assert np.mean(err) < 0.03, np.mean(err)
+
+
+class TestOmniCamera:
+    """OCamCalib omni model against the reference's ForOmniCamera fixture
+    (reference CameraParams.cpp:62-95, Camera::BackProjectOmni)."""
+
+    def _cam(self):
+        from kimera_vio_tpu.config.params import CameraParams
+        from kimera_vio_tpu.frontend.camera import PinholeCamera
+
+        p = CameraParams.from_yaml(
+            "/root/reference/tests/data/ForOmniCamera/OmniCamParams.yaml"
+        )
+        assert p.camera_model == "omni"
+        return PinholeCamera.from_params(p), p
+
+    def test_center_pixel_backprojects_forward(self):
+        import jax.numpy as jnp
+        from kimera_vio_tpu.frontend.camera import (
+            omni_backproject_normalized,
+        )
+
+        cam, p = self._cam()
+        uv = jnp.asarray(p.omni_distortion_center, jnp.float32)[None]
+        xy = np.asarray(omni_backproject_normalized(cam, uv))
+        np.testing.assert_allclose(xy, 0.0, atol=1e-6)
+
+    def test_backproject_matches_reference_math(self):
+        """Numpy transliteration of Camera::BackProjectOmni as the oracle."""
+        import jax.numpy as jnp
+        from kimera_vio_tpu.frontend.camera import backproject
+
+        cam, p = self._cam()
+        rng = np.random.default_rng(0)
+        uv = rng.uniform([400, 300], [1600, 1200], (50, 2)).astype(np.float32)
+        depth = rng.uniform(1.0, 10.0, 50).astype(np.float32)
+        # Oracle (double precision, exact reference recurrence)
+        coeffs = p.distortion_coeffs
+        c_, d_, e_ = p.omni_affine
+        A_inv = np.linalg.inv(np.array([[1.0, c_], [d_, e_]]))
+        rect = (uv - p.omni_distortion_center) @ A_inv.T
+        rho = np.linalg.norm(rect, axis=-1)
+        z = coeffs[4]
+        for k in (3, 2, 1, 0):
+            z = coeffs[k] + z * rho
+        exp = np.stack(
+            [
+                rect[:, 0] * depth / z,
+                rect[:, 1] * depth / z,
+                depth,
+            ],
+            -1,
+        )
+        got = np.asarray(backproject(cam, jnp.asarray(uv), jnp.asarray(depth)))
+        np.testing.assert_allclose(got, exp, rtol=2e-4, atol=2e-4)
+
+    def test_project_backproject_roundtrip(self):
+        """omni_project (Newton inversion — beyond the reference, which
+        aborts in projectOmni) must invert BackProjectOmni."""
+        import jax.numpy as jnp
+        from kimera_vio_tpu.frontend.camera import backproject, project
+
+        cam, p = self._cam()
+        rng = np.random.default_rng(1)
+        uv = rng.uniform([500, 400], [1500, 1100], (40, 2)).astype(np.float32)
+        depth = rng.uniform(2.0, 8.0, 40).astype(np.float32)
+        pts = backproject(cam, jnp.asarray(uv), jnp.asarray(depth))
+        uv2, ok = project(cam, pts)
+        assert bool(np.asarray(ok).all())
+        np.testing.assert_allclose(np.asarray(uv2), uv, atol=0.1)

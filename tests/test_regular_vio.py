@@ -108,3 +108,62 @@ def test_regular_solve_matches_plain_on_plane_scene():
     pts_np = np.asarray(pts)[np.asarray(ok)]
     if len(pts_np):
         assert np.abs(pts_np[:, 2] - 6.0).mean() < 0.1
+
+
+class TestParallelPlaneFactor:
+    """ParallelPlaneRegularFactor residuals + analytic-vs-autodiff
+    Jacobians (reference tests/testParallelPlaneRegular*Factor.cpp)."""
+
+    def test_zero_error_for_parallel_planes(self):
+        n = jnp.asarray(np.array([0.0, 0.0, 1.0], np.float32))
+        r, J1, J2 = rv.parallel_plane_residual(
+            n, jnp.float32(1.0), n, jnp.float32(3.0),
+            measured_dist=jnp.float32(2.0),
+        )
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-6)
+
+    def test_tangent_variant_detects_tilt(self):
+        n1 = jnp.asarray(np.array([0.0, 0.0, 1.0], np.float32))
+        tilt = np.array([0.1, -0.05, 1.0])
+        n2 = jnp.asarray((tilt / np.linalg.norm(tilt)).astype(np.float32))
+        r, _, _ = rv.parallel_plane_residual(n1, 0.0, n2, 0.0)
+        assert np.linalg.norm(np.asarray(r)) > 0.05
+
+    def test_jacobians_match_autodiff(self):
+        rng = np.random.default_rng(3)
+        n1 = rng.normal(size=3); n1 /= np.linalg.norm(n1)
+        tilt = n1 + 0.05 * rng.normal(size=3)
+        n2 = tilt / np.linalg.norm(tilt)
+        n1 = jnp.asarray(n1, jnp.float32); n2 = jnp.asarray(n2, jnp.float32)
+        d1, d2 = jnp.float32(0.7), jnp.float32(1.2)
+        md = jnp.float32(0.4)
+
+        def residual_of_deltas(dl1, dl2):
+            p = rv.PlaneStates(
+                normal=jnp.stack([n1, n2]),
+                d=jnp.stack([d1, d2]),
+                mask=jnp.ones(2, bool),
+            )
+            p = rv.retract_planes(p, jnp.stack([dl1, dl2]))
+            r, _, _ = rv.parallel_plane_residual(
+                p.normal[0], p.d[0], p.normal[1], p.d[1], measured_dist=md
+            )
+            return r
+
+        z = jnp.zeros(3)
+        J1_num = jax.jacfwd(residual_of_deltas, argnums=0)(z, z)
+        J2_num = jax.jacfwd(residual_of_deltas, argnums=1)(z, z)
+        _, J1, J2 = rv.parallel_plane_residual(n1, d1, n2, d2, measured_dist=md)
+        np.testing.assert_allclose(np.asarray(J1), np.asarray(J1_num), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(J2), np.asarray(J2_num), atol=5e-3)
+
+    def test_batched_pairs_masking(self):
+        p = rv.PlaneStates(
+            normal=jnp.asarray(np.eye(3, dtype=np.float32)),
+            d=jnp.asarray(np.array([1.0, 2.0, 3.0], np.float32)),
+            mask=jnp.asarray([True, True, False]),
+        )
+        pairs = jnp.asarray(np.array([[0, 1], [1, 2], [0, -1]], np.int32))
+        pm = jnp.ones(3, bool)
+        r, J1, J2, w = rv.parallel_plane_blocks(p, pairs, pm)
+        assert np.asarray(w).tolist() == [1.0, 0.0, 0.0]
