@@ -67,14 +67,26 @@ class LoopClosureDetector:
     """Host orchestrator over jitted kernels; keyframe-paced like the
     reference LcdModule."""
 
-    def __init__(self, vocab: BowVocabulary, cfg: LcdConfig = LcdConfig(), stereo=None):
+    def __init__(
+        self,
+        vocab: BowVocabulary,
+        cfg: LcdConfig = LcdConfig(),
+        stereo=None,
+        cache=None,
+    ):
+        from kimera_vio_tpu.loopclosure.frame_cache import FrameCache
+
         self.cfg = cfg
         self.vocab = vocab
         self.stereo = stereo
         W = vocab.n_words
         self.db = np.zeros((cfg.max_keyframes, W), np.float32)
         self.n_kf = 0
-        self.kf_desc: list = []  # per kf: (desc, mask, uv, versors, pts3d)
+        # Keyframe payloads (descriptors, keypoints, 3D points) live in the
+        # disk-backed LRU FrameCache — RAM stays bounded on long missions
+        # (reference FrameCache.cpp:23,40-108). `_verify` fetches matches
+        # back through `get()`.
+        self.cache = cache if cache is not None else FrameCache(None)
         self.kf_pose: list = []  # odometry poses (R, t) world
         self.kf_stamps: list = []
         self.latest_bow = None
@@ -142,10 +154,21 @@ class LoopClosureDetector:
                         if result is not None:
                             self.loops.append(result)
 
+        if kf_id >= len(self.db):
+            # Grow the (tiny) BoW matrix geometrically; the heavy payloads
+            # are bounded by the FrameCache.
+            self.db = np.vstack([self.db, np.zeros_like(self.db)])
         self.db[kf_id] = np.asarray(bow)
         self.latest_bow = bow
-        self.kf_desc.append(
-            (desc, ok, np.asarray(uv), np.asarray(versors), np.asarray(pts3d))
+        self.cache.add(
+            kf_id,
+            dict(
+                desc=np.asarray(desc),
+                ok=np.asarray(ok),
+                uv=np.asarray(uv),
+                versors=np.asarray(versors),
+                pts3d=np.asarray(pts3d),
+            ),
         )
         self.kf_pose.append((np.asarray(pose_R), np.asarray(pose_t)))
         self.kf_stamps.append(stamp_ns)
@@ -185,7 +208,12 @@ class LoopClosureDetector:
     def _verify(self, kf_id, match_id, desc_q, ok_q, uv_q, versors_q, pts_q):
         """Descriptor matching + geometric verification + 3D-3D recovery."""
         cfg = self.cfg
-        desc_m, ok_m, uv_m, versors_m, pts_m = self.kf_desc[match_id]
+        payload = self.cache.get(match_id)
+        if payload is None:
+            return None  # evicted without a disk dir (degraded mode)
+        desc_m = jnp.asarray(payload["desc"])
+        ok_m = payload["ok"]
+        pts_m = payload["pts3d"]
         idx, mok = self._match(desc_q, ok_q, desc_m, jnp.asarray(ok_m))
         idx = np.asarray(idx)
         mok = np.asarray(mok)

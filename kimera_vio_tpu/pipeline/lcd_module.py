@@ -109,7 +109,9 @@ class LcdModule:
             n_words=self.n_words,
             iters=6,
         )
-        self.lcd = LoopClosureDetector(BowVocabulary(cb), self.cfg, self.stereo)
+        self.lcd = LoopClosureDetector(
+            BowVocabulary(cb), self.cfg, self.stereo, cache=self.cache
+        )
         for p in self._pending:
             self._feed(p)
         self._pending.clear()
@@ -117,7 +119,6 @@ class LcdModule:
         self._train_mask.clear()
 
     def _feed(self, p):
-        self.cache.add(self.lcd.n_kf, {k: v for k, v in p.items() if k != "stamp"})
         return self.lcd.add_keyframe(
             None, p["uv"], p["ok"], p["versors"], p["pts3"],
             p["pose_R"], p["pose_t"], int(p["stamp"]),

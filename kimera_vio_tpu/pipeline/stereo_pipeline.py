@@ -117,6 +117,45 @@ class StereoImuPipeline:
     def _build_rig(self, params):
         return StereoCamera.from_params(params.left_cam, params.right_cam)
 
+    def _refine_mesh(self, mesh, depth_img, pose_R, pose_t):
+        """Depth-based mesh refinement (reference MeshOptimization.cpp):
+        unique mesh vertices move along their camera rays to match the
+        dense depth image. Used by the RGB-D path."""
+        from kimera_vio_tpu.mesher.mesh_optimization import (
+            optimize_mesh_depths,
+        )
+
+        if mesh is None or mesh.n_triangles == 0:
+            return mesh
+        # Deduplicate vertices by landmark id -> (V,3) + (T,3) indexing.
+        ids_flat = mesh.lmk_ids.reshape(-1)
+        verts_flat = mesh.vertices.reshape(-1, 3)
+        uniq, inv = np.unique(ids_flat, return_inverse=True)
+        V = len(uniq)
+        verts_w = np.zeros((V, 3), np.float32)
+        verts_w[inv] = verts_flat
+        tris = inv.reshape(-1, 3).astype(np.int32)
+        # World -> camera frame of this keyframe.
+        C_R = np.asarray(self.frontend.stereo.R_b_rect)
+        C_t = np.asarray(self.frontend.stereo.t_b_rect)
+        R_wc = pose_R @ C_R
+        t_wc = pose_t + pose_R @ C_t
+        verts_c = (verts_w - t_wc) @ R_wc
+        refined_c, _ = optimize_mesh_depths(
+            jnp.asarray(verts_c),
+            jnp.asarray(tris),
+            jnp.ones(len(tris), bool),
+            jnp.asarray(np.asarray(depth_img), jnp.float32),
+            float(np.asarray(self.stereo.fx)),
+            float(np.asarray(self.stereo.fy)),
+            float(np.asarray(self.stereo.cx)),
+            float(np.asarray(self.stereo.cy)),
+        )
+        refined_w = np.asarray(refined_c) @ R_wc.T + t_wc
+        from kimera_vio_tpu.mesher.mesher import Mesh3D
+
+        return Mesh3D(lmk_ids=mesh.lmk_ids, vertices=refined_w[tris])
+
     def _build_frontend_cfg(self, params):
         cfg = FrontendConfig.from_params(
             params.frontend, max_features=params.max_features
@@ -679,6 +718,10 @@ class StereoImuPipeline:
                     np.asarray(fo["lmk_valid"]),
                     horizon_ids=ids_alive,
                 )
+                if self.frontend_cfg.rgbd and mesh is not None:
+                    # Depth-based mesh refinement (MeshOptimization.cpp):
+                    # `right` is the metric depth image in RGB-D mode.
+                    mesh = self._refine_mesh(mesh, right, pose_R, pose_t)
             if lcd_module is not None:
                 from kimera_vio_tpu.frontend.camera import remap_bilinear
 

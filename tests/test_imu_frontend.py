@@ -7,6 +7,7 @@ correction consistency)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kimera_vio_tpu.common import geometry as geo
 from kimera_vio_tpu.common.types import ImuBias, ImuBlock, NavState
@@ -79,6 +80,7 @@ def test_padding_is_noop():
         )
 
 
+@pytest.mark.slow
 def test_stationary_gravity_only():
     """IMU at rest measures -gravity; preintegration + predict must stay put."""
     n = 40
@@ -94,6 +96,7 @@ def test_stationary_gravity_only():
     np.testing.assert_allclose(np.asarray(pred.rot), np.eye(3), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_constant_acceleration_prediction():
     """Body accelerating at a known world acceleration: check kinematics."""
     a_world = np.array([1.0, 0.0, 0.0])
@@ -120,6 +123,7 @@ def test_constant_rotation():
     )
 
 
+@pytest.mark.slow
 def test_bias_correction_first_order():
     """First-order bias correction must match re-integration at new bias."""
     rng = np.random.default_rng(3)
@@ -177,6 +181,7 @@ def test_covariance_psd_and_growth():
     assert float(jnp.trace(pim.cov)) > float(jnp.trace(pim_half.cov))
 
 
+@pytest.mark.slow
 def test_incremental_continuation():
     """Integrating two blocks with `init=` equals one big block — the
     inter-keyframe accumulation pattern."""

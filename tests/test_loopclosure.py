@@ -212,3 +212,49 @@ def test_lcd_detects_revisit():
     assert abs(r.query_id - r.match_id) > 2
     # The matched pair shows the same scene.
     assert (r.query_id - len(imgs)) == r.match_id or True  # exact id optional
+
+
+class TestFrameCacheBoundsMemory:
+    """FrameCache is the LCD's payload store: RAM stays bounded and
+    verification fetches evicted payloads back from disk
+    (reference FrameCache.cpp:23,40-108)."""
+
+    def test_lcd_memory_bounded_and_disk_fetch(self, tmp_path):
+        from kimera_vio_tpu.loopclosure.frame_cache import FrameCache
+        from kimera_vio_tpu.loopclosure.lcd import LcdConfig, LoopClosureDetector
+        from kimera_vio_tpu.loopclosure.vocab import BowVocabulary
+
+        rng = np.random.default_rng(0)
+        n_words, n_feat = 32, 64
+        codebook = jnp.asarray(
+            rng.integers(0, 2, (n_words, 256)).astype(np.uint8)
+        )
+        cache = FrameCache(str(tmp_path), max_in_memory=5)
+        cfg = LcdConfig(recent_frames_window=3, min_temporal_matches=1,
+                        alpha=0.01, min_correspondences=4, min_inliers=4,
+                        max_keyframes=8)
+        lcd = LoopClosureDetector(BowVocabulary(codebook), cfg, cache=cache)
+        desc0 = rng.integers(0, 2, (n_feat, 256)).astype(np.uint8)
+        pts = rng.uniform(-2, 2, (n_feat, 3)).astype(np.float32)
+        for k in range(20):
+            # Same scene every time -> later frames should match earlier.
+            lcd.add_keyframe(
+                None,
+                uv=rng.uniform(0, 100, (n_feat, 2)).astype(np.float32),
+                mask=np.ones(n_feat, bool),
+                versors=pts / np.linalg.norm(pts, axis=-1, keepdims=True),
+                pts3d=pts,
+                pose_R=np.eye(3, dtype=np.float32),
+                pose_t=np.zeros(3, np.float32),
+                stamp_ns=k * 10**8,
+                desc_override=(jnp.asarray(desc0), jnp.ones(n_feat, bool)),
+            )
+        # RAM bounded to the LRU window.
+        assert len(lcd.cache._mem) <= 5
+        # db grew past the initial cap without error.
+        assert lcd.n_kf == 20
+        # Old payloads are on disk and retrievable.
+        assert lcd.cache.get(0) is not None
+        # Identical descriptors + identical geometry -> at least one
+        # verified loop whose match payload came through the cache.
+        assert len(lcd.loops) > 0

@@ -81,3 +81,74 @@ def test_plane_segmentation_wall():
     n = walls[0]["normal"]
     assert abs(abs(n[0]) - 1.0) < 0.15, n  # normal ~ +-x
     assert abs(abs(walls[0]["d"]) - 1.0) < 0.15
+
+
+class TestMeshOptimization:
+    """Depth-based mesh refinement (reference MeshOptimization.cpp):
+    perturbed vertex depths must move back onto the observed surface."""
+
+    def _scene(self, seed=0):
+        rng = np.random.default_rng(seed)
+        H, W = 120, 160
+        fx = fy = 100.0
+        cx, cy = W / 2, H / 2
+        # GT surface: slanted plane z = 2 + 0.004x + 0.002y (camera frame).
+        ys, xs = np.mgrid[0:H, 0:W]
+        x_n = (xs - cx) / fx
+        y_n = (ys - cy) / fy
+        # z(1 - slope terms) = 2 -> closed form for ray-plane intersection
+        denom = 1.0 - 0.4 * x_n - 0.2 * y_n
+        depth = 2.0 / np.maximum(denom, 0.3)
+        # Mesh: grid of vertices on the same plane, depths perturbed.
+        gu = np.linspace(20, W - 20, 6)
+        gv = np.linspace(15, H - 15, 5)
+        uu, vv = np.meshgrid(gu, gv)
+        uv = np.stack([uu.ravel(), vv.ravel()], -1)
+        x_nv = (uv[:, 0] - cx) / fx
+        y_nv = (uv[:, 1] - cy) / fy
+        z_gt = 2.0 / np.maximum(1.0 - 0.4 * x_nv - 0.2 * y_nv, 0.3)
+        z_pert = z_gt * (1.0 + rng.uniform(-0.15, 0.15, z_gt.shape))
+        verts = np.stack([x_nv * z_pert, y_nv * z_pert, z_pert], -1)
+        from scipy.spatial import Delaunay
+
+        tris = Delaunay(uv).simplices.astype(np.int32)
+        return (
+            jnp.asarray(verts, jnp.float32),
+            jnp.asarray(tris),
+            jnp.asarray(depth, jnp.float32),
+            z_gt,
+            fx, fy, cx, cy,
+        )
+
+    def test_refinement_reduces_depth_error(self):
+        from kimera_vio_tpu.mesher.mesh_optimization import (
+            optimize_mesh_depths,
+        )
+
+        verts, tris, depth, z_gt, fx, fy, cx, cy = self._scene()
+        tri_mask = jnp.ones(tris.shape[0], bool)
+        refined, n_obs = optimize_mesh_depths(
+            verts, tris, tri_mask, depth, fx, fy, cx, cy
+        )
+        err_before = np.abs(np.asarray(verts)[:, 2] - z_gt)
+        err_after = np.abs(np.asarray(refined)[:, 2] - z_gt)
+        assert err_after.mean() < 0.25 * err_before.mean(), (
+            err_before.mean(), err_after.mean(),
+        )
+        assert int(np.asarray(n_obs).min()) > 0
+
+    def test_unobserved_vertices_keep_prior(self):
+        from kimera_vio_tpu.mesher.mesh_optimization import (
+            optimize_mesh_depths,
+        )
+
+        verts, tris, depth, z_gt, fx, fy, cx, cy = self._scene()
+        # Invalidate ALL depth: nothing observed -> prior keeps depths.
+        bad = jnp.full_like(depth, jnp.nan)
+        refined, n_obs = optimize_mesh_depths(
+            verts, tris, jnp.ones(tris.shape[0], bool), bad, fx, fy, cx, cy
+        )
+        np.testing.assert_allclose(
+            np.asarray(refined), np.asarray(verts), atol=1e-3
+        )
+        assert int(np.asarray(n_obs).max()) == 0

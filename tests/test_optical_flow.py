@@ -159,6 +159,7 @@ def test_rotational_flow_prediction():
     np.testing.assert_allclose(np.asarray(pred2), np.asarray(uv2))
 
 
+@pytest.mark.slow
 def test_pallas_kernel_matches_xla():
     """The Pallas LK kernel (interpret mode on CPU) must agree with the XLA
     tracker on a full-size pyramid."""

@@ -47,6 +47,7 @@ def _params(**over):
     return p
 
 
+@pytest.mark.slow
 def test_pnp_tracking_wired():
     """use_pnp_tracking + pose_guess_source=PNP runs PnP against the
     backend landmark map in-graph and still converges (the effect: the
@@ -61,6 +62,7 @@ def test_pnp_tracking_wired():
     assert rmse < 0.06, rmse
 
 
+@pytest.mark.slow
 def test_stereo_pose_guess_source():
     """pose_guess_source=STEREO composes the 1-pt voting relative pose
     onto the previous state for the insert guess (VioBackend.cpp:843-862)
@@ -71,6 +73,7 @@ def test_stereo_pose_guess_source():
     assert rmse < 0.06, rmse
 
 
+@pytest.mark.slow
 def test_between_stereo_factors_in_pipeline():
     """addBetweenStereoFactors=1 threads the voting pose into between
     factors; clean synthetic data -> accuracy preserved and keyframes
@@ -82,6 +85,7 @@ def test_between_stereo_factors_in_pipeline():
     assert rmse < 0.06, rmse
 
 
+@pytest.mark.slow
 def test_flags_gate_logging(tmp_path):
     """--log_output/--output_path flags turn on the CSV suite without
     constructor args (reference gflags tier)."""
@@ -103,6 +107,7 @@ def test_flags_gate_logging(tmp_path):
     assert n_rows == out.n_frames - 1
 
 
+@pytest.mark.slow
 def test_auto_initialize_online():
     """autoInitialize=2 runs the online visual-inertial alignment: the
     pipeline bootstraps crude, collects an init window, re-bootstraps with
@@ -120,6 +125,7 @@ def test_auto_initialize_online():
     assert np.abs(est[-1]).max() < 3.0
 
 
+@pytest.mark.slow
 def test_time_alignment_phase_smoke():
     """--do_fine_imu_camera_temporal_sync engages the alignment phase
     (3-pt Arun rotation export + aligner feed). On a rotation-free
@@ -141,6 +147,7 @@ def test_time_alignment_phase_smoke():
     assert pipe.time_shift_estimate_s is None  # no excitation -> gated
 
 
+@pytest.mark.slow
 def test_external_odometry_end_to_end():
     """A provider-attached OdometryBuffer threads keyframe-relative
     between factors into the backend in-graph (reference

@@ -4,6 +4,7 @@ synthetic scene where most landmarks lie exactly on a known plane."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kimera_vio_tpu.backend import regular_vio as rv
 from kimera_vio_tpu.backend import smoother as sm
@@ -48,6 +49,7 @@ def test_unassociated_landmarks_masked():
     np.testing.assert_allclose(np.asarray(w), 0.0)
 
 
+@pytest.mark.slow
 def test_regular_solve_matches_plain_on_plane_scene():
     """Landmarks on a z=6 wall: the regular solve with the true plane must
     converge at least as tightly as the plain smoother."""

@@ -6,6 +6,7 @@ motion, tests/testVioBackend.cpp:180,366)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kimera_vio_tpu.backend import smoother as sm
 from kimera_vio_tpu.common import geometry as geo
@@ -99,6 +100,7 @@ def run_sequence(K=8, n_kf=8, n_lmk=80, L=128, vel=np.array([1.0, 0, 0])):
     return cfg, win, lmk_table, gt_traj, est_traj, lmk_w
 
 
+@pytest.mark.slow
 def test_constant_velocity_convergence():
     cfg, win, lmk, gt, est, _ = run_sequence(K=8, n_kf=8)
     for (Rg, pg), (Re, pe) in zip(gt, est):
@@ -107,6 +109,7 @@ def test_constant_velocity_convergence():
         assert np.linalg.norm(dR) < 0.01
 
 
+@pytest.mark.slow
 def test_velocity_and_bias_estimates():
     cfg, win, lmk, gt, est, _ = run_sequence(K=8, n_kf=8)
     slot = int(win.n) - 1
@@ -116,6 +119,7 @@ def test_velocity_and_bias_estimates():
     np.testing.assert_allclose(np.asarray(win.bias[slot]), np.zeros(6), atol=0.05)
 
 
+@pytest.mark.slow
 def test_marginalization_window_slides():
     """More keyframes than window states: estimates stay consistent after
     marginalization kicks in."""
@@ -125,6 +129,7 @@ def test_marginalization_window_slides():
         np.testing.assert_allclose(pe, pg, atol=0.05)
 
 
+@pytest.mark.slow
 def test_landmark_map_export():
     cfg, win, lmk, gt, est, lmk_w = run_sequence(K=8, n_kf=6)
     # Re-run triangulation through the smart-factor path outputs.
@@ -147,6 +152,7 @@ def test_landmark_map_export():
     assert n_checked > 30
 
 
+@pytest.mark.slow
 def test_noisy_measurements_still_converge():
     """Pixel noise on the stereo measurements: estimates stay within a few
     cm (loose statistical bound)."""
@@ -184,6 +190,7 @@ def test_noisy_measurements_still_converge():
     assert np.median(errs) < 0.05, errs
 
 
+@pytest.mark.slow
 def test_external_odometry_factor():
     """With vision disabled (no measurements), external odometry between
     factors must pin the trajectory scale/shape that IMU alone would drift
@@ -245,6 +252,7 @@ def test_robust_norm_weights():
     assert float(w_t[2]) == 0.0 and float(w_h[2]) > 0.0
 
 
+@pytest.mark.slow
 def test_tukey_rejects_planted_outliers_better_than_huber():
     """Plant gross outlier measurements on a few landmarks: with the Tukey
     norm (EuRoC default, BackendParams.yaml monoNormType: 2) the trajectory
@@ -320,6 +328,7 @@ def test_tukey_rejects_planted_outliers_better_than_huber():
     assert err_tukey < max(3 * err_clean, 0.05), (err_tukey, err_clean)
 
 
+@pytest.mark.slow
 def test_failure_recovery_keeps_window_finite():
     """Inject a garbage measurement batch (NaNs + degenerate geometry) and
     assert the window stays finite — the analog of the reference's
@@ -377,6 +386,7 @@ def test_failure_recovery_keeps_window_finite():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_between_stereo_factor_pulls_translation():
     """A between-stereo measurement with tight precision pulls the relative
     translation toward the measured value against a weak smart-factor set
@@ -408,6 +418,7 @@ def test_between_stereo_factor_pulls_translation():
     assert out["pos"][0] > 0.02, out["pos"]
 
 
+@pytest.mark.slow
 def test_constant_velocity_factor_smooths_velocity():
     """With the constant-velocity factor enabled, a spurious velocity jump
     (from a bad PIM) is damped relative to the unconstrained solve."""
@@ -455,6 +466,7 @@ def test_constant_velocity_factor_smooths_velocity():
     assert v_cv < v_free * 0.9, (v_cv, v_free)
 
 
+@pytest.mark.slow
 def test_dual_pose_outputs_consistent():
     """Increment-chained pose tracks the smoothed pose on a clean run
     (VioBackend.cpp:1348-1373: both published poses agree when the
@@ -479,6 +491,7 @@ def test_dual_pose_outputs_consistent():
     assert np.linalg.norm(dR) < 0.02
 
 
+@pytest.mark.slow
 def test_state_covariance_export():
     """Marginal covariance of the newest state is SPD-ish, shrinks with
     more landmarks, and has sane scale (computeStateCovariance,
