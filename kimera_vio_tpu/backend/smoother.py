@@ -65,6 +65,9 @@ class BackendConfig:
     max_landmarks: int = struct.field(pytree_node=False, default=512)
     gn_iters: int = struct.field(pytree_node=False, default=2)
     min_obs_for_triangulation: int = struct.field(pytree_node=False, default=2)
+    # imu_preintegration_type 0 = Combined (joint 15x15 whitening),
+    # 1 = ImuFactor + separate bias between factor (every shipped tree).
+    combined_pim: bool = struct.field(pytree_node=False, default=False)
     # Device-side noise/gate parameters.
     smart_noise_sigma: jax.Array = struct.field(default_factory=lambda: jnp.float32(3.0))
     # Robust m-estimator selection per measurement class, from BackendParams
@@ -123,6 +126,9 @@ class BackendConfig:
             # top of the base relinearize+solve (VioBackend.cpp:1222-1226).
             gn_iters=max(
                 gn_iters, 1 + int(getattr(backend_params, "num_optimize", 1))
+            ),
+            combined_pim=(
+                int(getattr(imu_params, "preintegration_type", 1)) == 0
             ),
             smart_noise_sigma=f(backend_params.smart_noise_sigma),
             mono_norm_type=jnp.int32(backend_params.mono_norm_type),
@@ -369,12 +375,27 @@ def _imu_factor_blocks(cfg: BackendConfig, win: Window):
         Jp_i, Jb_i = jax.jacfwd(lambda d: residual(d, z))(z)
         Jp_j, Jb_j = jax.jacfwd(lambda d: residual(z, d))(z)
 
-        # Whiten PIM residual by its covariance.
+        if cfg.combined_pim:
+            # Combined flavor (imu_preintegration_type: 0): one 15-dim
+            # residual jointly whitened by the Combined 15x15 covariance
+            # (gtsam CombinedImuFactor; no separate bias between factor).
+            from kimera_vio_tpu.frontend.imu_frontend import combined_cov15
+
+            cov15 = combined_cov15(
+                pim_k, cfg.acc_random_walk, cfg.gyro_random_walk
+            )
+            W15 = _whiten_from_cov(cov15, jitter=1e-10)
+            r = W15 @ jnp.concatenate([r_pim, r_bias])
+            Ji = W15 @ jnp.concatenate([Jp_i, Jb_i], axis=0)
+            Jj = W15 @ jnp.concatenate([Jp_j, Jb_j], axis=0)
+            return Ji, Jj, r
+
+        # Plain flavor: whiten PIM residual by its 9x9 covariance + a
+        # separate bias-random-walk between factor (sigma^2 * dt).
         Wp = _whiten_from_cov(pim_k.cov, jitter=1e-10)
         r_pim_w = Wp @ r_pim
         Jp_i_w = Wp @ Jp_i
         Jp_j_w = Wp @ Jp_j
-        # Whiten bias random walk: sigma^2 * dt per axis.
         sig = jnp.concatenate(
             [
                 jnp.full(3, cfg.acc_random_walk, win.pos.dtype),

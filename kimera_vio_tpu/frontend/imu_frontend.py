@@ -13,9 +13,13 @@ block integrates in one fused `lax.scan` over a fixed-capacity, masked
 
 Supports both reference preintegration flavors
 (`ImuPreintegrationType` 0=Combined, 1=ImuFactor — ImuFrontend.cpp:68-121):
-the `Combined` flavor extends the covariance to 15x15 by propagating bias
-random walk inside the PIM; the plain flavor leaves the bias-random-walk
-between-factor to the backend (as GTSAM does).
+the plain flavor (the default in every shipped param tree) carries the 9x9
+covariance and leaves the bias-random-walk between-factor to the backend
+(as GTSAM does); the `Combined` flavor's joint 15x15 covariance is
+assembled in closed form from the 9x9 + the bias Jacobians
+(`combined_cov15` below) — equal to GTSAM's step-wise joint propagation to
+first order in the bias random walk — and the backend then whitens one
+15-dim residual instead of adding a separate bias factor.
 
 Everything is branch-free: padded samples carry dt=0 / mask=False and
 contribute exactly nothing (exp(0)=I), so one compiled scan serves any
@@ -388,6 +392,43 @@ def preintegrate_gyro(block: ImuBlock, gyro_bias: jax.Array) -> jax.Array:
         step, jnp.eye(3, dtype=block.gyr.dtype), (block.gyr, block.dt, block.mask)
     )
     return R
+
+
+def combined_cov15(pim: Pim, acc_random_walk, gyro_random_walk) -> jax.Array:
+    """Joint 15x15 covariance of [preintegration error; bias_j - bias_i]
+    for the Combined flavor (gtsam PreintegratedCombinedMeasurements /
+    CombinedImuFactor, reference ImuFrontend.cpp:68-121).
+
+    Closed-form assembly: bias random walk injected during the interval
+    reaches the preintegrated state through the bias Jacobians, which grow
+    ~linearly in time, giving the Brownian-integral factors 1/3 (state
+    block) and 1/2 (cross block):
+
+        S15 = [[ S9 + Jb Qb Jb^T/3 ,  Jb Qb / 2 ],
+               [ (Jb Qb / 2)^T     ,  Qb        ]],  Qb = diag(rw^2) dt.
+
+    Equal to the step-wise joint propagation to first order in the walk."""
+    Jb = jnp.zeros((9, 6), pim.cov.dtype)
+    Jb = Jb.at[0:3, 3:6].set(pim.dR_dbg)
+    Jb = Jb.at[3:6, 0:3].set(pim.dv_dba)
+    Jb = Jb.at[3:6, 3:6].set(pim.dv_dbg)
+    Jb = Jb.at[6:9, 0:3].set(pim.dp_dba)
+    Jb = Jb.at[6:9, 3:6].set(pim.dp_dbg)
+    dt = jnp.maximum(pim.delta_t, 1e-6)
+    qb = (
+        jnp.concatenate(
+            [
+                jnp.full(3, acc_random_walk**2),
+                jnp.full(3, gyro_random_walk**2),
+            ]
+        )
+        * dt
+    )
+    Qb = jnp.diag(qb.astype(pim.cov.dtype))
+    JQ = Jb @ Qb
+    top = pim.cov + JQ @ Jb.T / 3.0
+    cross = JQ / 2.0
+    return jnp.block([[top, cross], [cross.T, Qb]])
 
 
 def pim_with_bias_correction(pim: Pim, bias: ImuBias):

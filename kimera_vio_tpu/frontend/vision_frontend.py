@@ -254,7 +254,7 @@ class StereoFrontend:
         return () if self.cfg.lk_impl == "matmul" else _stack_pyr(pyr)
 
     def _grads_store(self, grads):
-        return () if self.cfg.lk_impl == "matmul" else tuple(grads)
+        return () if grads is None else tuple(grads)
 
     def _lk_templates(self, pyr, grads, feats):
         if self.cfg.lk_impl != "matmul":
@@ -264,8 +264,15 @@ class StereoFrontend:
             feats.uv,
             feats.mask,
             win=self.cfg.klt_win,
-            prev_grads=list(grads),
+            prev_grads=list(grads) if grads is not None else None,
         )
+
+    def _grads_for_templates(self, pyr):
+        """Full-image gradients only for the non-matmul trackers; the
+        matmul template builder computes gradients on its patches."""
+        if self.cfg.lk_impl == "matmul":
+            return None
+        return tuple(of._grad(p) for p in pyr)
 
     # ------------------------------------------------------------------
     def _rectify_uv(self, uv):
@@ -314,7 +321,7 @@ class StereoFrontend:
         if not cfg.rgbd:
             right_img = right_img.astype(jnp.float32)
         pyr = of.build_pyramid(left_img, cfg.klt_max_level)
-        grads = tuple(of._grad(p) for p in pyr)
+        grads = self._grads_for_templates(pyr)
         feats = TrackedFeatures.empty(cfg.max_features)
         uv, valid = det.detect_features(
             left_img,
@@ -658,7 +665,7 @@ class StereoFrontend:
                 feats_inl, uv_new, new_valid, state.next_id
             )
             meas_out, _ = self._stereo_measurements(left_rect, left_rect, feats_full)
-            grads = tuple(of._grad(p) for p in cur_pyr)
+            grads = self._grads_for_templates(cur_pyr)
             kf_state = state.replace(
                 features=feats_full,
                 lkf_features=feats_full,
@@ -747,7 +754,7 @@ class StereoFrontend:
         # Stereo measurements for the refilled set (new features need uR).
         meas_out, _ = self._stereo_measurements(left_rect, right_rect, feats_full)
 
-        grads = tuple(of._grad(p) for p in cur_pyr)
+        grads = self._grads_for_templates(cur_pyr)
         kf_state = state.replace(
             features=feats_full,
             lkf_features=feats_full,

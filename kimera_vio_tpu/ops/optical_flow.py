@@ -221,30 +221,63 @@ def _build_level_template(
     keypoint positions there, so the frontend computes it once per
     keyframe and carries it in state (the reference's analog: OpenCV
     re-derives this every call; caching it is free accuracy-neutral
-    speed)."""
+    speed).
+
+    When prev_Ix/prev_Iy are None, the Scharr gradients are computed ON
+    the extracted patches instead of the full image — one image extraction
+    + tiny per-patch shift-convs replaces three full-image passes + three
+    extractions (the gather op count is what costs on TPU)."""
     St = win + 2
     prec = jax.lax.Precision.HIGHEST
     half = (win - 1) * 0.5
-    pad = St + 2
-    # One stacked (3,H,W) pad + ONE 3D dynamic_slice per keypoint pulls
-    # image/Ix/Iy patches together — measured 2.3x faster than three
-    # separate per-image extractions on TPU (the gather op count, not the
-    # pad, is what costs).
-    trio = jnp.stack([prev_img, prev_Ix, prev_Iy])
-    trio_p = jnp.pad(trio, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
     t_corner = jnp.floor(prev_pts - half)  # (N,2) float (x,y)
     t_origin = t_corner.astype(jnp.int32)
     t_off = prev_pts - half - t_corner  # in [0,1)
-    t_oyx = jnp.stack([t_origin[:, 1] + pad, t_origin[:, 0] + pad], -1)
-    patches3 = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(trio_p, (0, o[0], o[1]), (3, St, St))
-    )(t_oyx)  # (N,3,St,St)
-    flat = patches3.reshape(-1, St, St)  # (3N,St,St)
-    off3 = jnp.repeat(t_off, 3, axis=0)
-    res = _resample_from_patch(flat, off3, win, prec).reshape(
-        -1, 3, win, win
-    )
-    tmpl, gx, gy = res[:, 0], res[:, 1], res[:, 2]
+    if prev_Ix is None:
+        Sg = St + 2  # +1 px ring for the 3x3 Scharr on the patch
+        pad = Sg + 2
+        img_p = jnp.pad(prev_img, pad, mode="edge")
+        t_oyx = jnp.stack(
+            [t_origin[:, 1] + pad - 1, t_origin[:, 0] + pad - 1], -1
+        )
+        raw = _extract_patches(img_p, t_oyx, Sg)  # (N,Sg,Sg)
+        gxp = sum(
+            float(_DERIV_X[dy, dx])
+            * jax.lax.slice(raw, (0, dy, dx), (raw.shape[0], dy + St, dx + St))
+            for dy in range(3)
+            for dx in range(3)
+            if _DERIV_X[dy, dx] != 0
+        )
+        gyp = sum(
+            float(_DERIV_Y[dy, dx])
+            * jax.lax.slice(raw, (0, dy, dx), (raw.shape[0], dy + St, dx + St))
+            for dy in range(3)
+            for dx in range(3)
+            if _DERIV_Y[dy, dx] != 0
+        )
+        imgp = raw[:, 1 : 1 + St, 1 : 1 + St]
+        flat = jnp.stack([imgp, gxp, gyp], axis=1).reshape(-1, St, St)
+        off3 = jnp.repeat(t_off, 3, axis=0)
+        res = _resample_from_patch(flat, off3, win, prec).reshape(
+            -1, 3, win, win
+        )
+        tmpl, gx, gy = res[:, 0], res[:, 1], res[:, 2]
+    else:
+        pad = St + 2
+        trio = jnp.stack([prev_img, prev_Ix, prev_Iy])
+        trio_p = jnp.pad(trio, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+        t_oyx = jnp.stack([t_origin[:, 1] + pad, t_origin[:, 0] + pad], -1)
+        patches3 = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(
+                trio_p, (0, o[0], o[1]), (3, St, St)
+            )
+        )(t_oyx)  # (N,3,St,St)
+        flat = patches3.reshape(-1, St, St)  # (3N,St,St)
+        off3 = jnp.repeat(t_off, 3, axis=0)
+        res = _resample_from_patch(flat, off3, win, prec).reshape(
+            -1, 3, win, win
+        )
+        tmpl, gx, gy = res[:, 0], res[:, 1], res[:, 2]
 
     gxx = jnp.sum(gx * gx, axis=(-2, -1))
     gxy = jnp.sum(gx * gy, axis=(-2, -1))
@@ -277,18 +310,17 @@ def build_lk_templates(
     prev_grads=None,
 ):
     """Per-level LK template cache for `klt_track_cached` (tuple of level
-    dicts, coarsest-first ordering matches prev_pyr)."""
+    dicts, coarsest-first ordering matches prev_pyr). Without prev_grads,
+    gradients are computed on the extracted patches (cheaper than three
+    full-image Scharr passes + extra extractions)."""
     n_levels = len(prev_pyr)
-    if prev_grads is None:
-        prev_grads = [_grad(p) for p in prev_pyr]
-    scale_top = 2.0 ** (n_levels - 1)
     out = []
     for lvl in range(n_levels):
         if min(prev_pyr[lvl].shape) < win + 2:
             out.append(None)
             continue
         pts_l = prev_pts / (2.0**lvl)
-        Ix, Iy = prev_grads[lvl]
+        Ix, Iy = prev_grads[lvl] if prev_grads is not None else (None, None)
         out.append(
             _build_level_template(
                 prev_pyr[lvl], Ix, Iy, pts_l, valid, win, min_eig_thresh
