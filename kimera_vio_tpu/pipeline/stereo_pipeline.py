@@ -86,6 +86,17 @@ class StereoImuPipeline:
         self._do_time_align = bool(
             flags.get_flag("do_fine_imu_camera_temporal_sync")
         )
+        # backend_type: 1 selects RegularVIO (the EuRoC default,
+        # PipelineParams.yaml): the mesher's plane hypotheses feed
+        # regularity factors; needs the mesher running.
+        self.use_regular_vio = (
+            getattr(params.backend, "backend_type", 0) == 1
+        )
+        if self.use_regular_vio and not enable_mesher:
+            # Without plane hypotheses RegularVIO degenerates to the plain
+            # backend — exactly the reference's shipped default (mesher
+            # plane hypotheses disabled, RegularVioBackend.h:83-87).
+            self.use_regular_vio = False
         if self._do_time_align:
             self.frontend_cfg = self.frontend_cfg.replace(
                 use_1point_stereo=False
@@ -116,6 +127,47 @@ class StereoImuPipeline:
     # Overridable construction hooks (MonoImuPipeline swaps these).
     def _build_rig(self, params):
         return StereoCamera.from_params(params.left_cam, params.right_cam)
+
+    def _regular_refine(self, win, lmk, mesh, fo):
+        """One RegularVIO joint solve over window + plane states from the
+        current mesh's horizontal-plane hypotheses."""
+        from kimera_vio_tpu.backend import regular_vio as rv
+        from kimera_vio_tpu.mesher import mesher as mm
+
+        if mesh.n_triangles == 0:
+            return win
+        verts = jnp.asarray(mesh.vertices, jnp.float32)
+        normals = mm.triangle_normals(verts)
+        g_axis = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+        pn, pd, pv, tri_assign = mm.segment_horizontal_planes(
+            verts, jnp.ones(len(mesh.vertices), bool), normals, g_axis
+        )
+        if not bool(np.asarray(pv).any()):
+            return win
+        planes = rv.PlaneStates(normal=pn, d=pd, mask=pv)
+        # Landmark id -> plane index via triangle membership (host, tiny).
+        assign_np = np.asarray(tri_assign)
+        id_to_plane: dict[int, int] = {}
+        for t_i, ids3 in enumerate(np.asarray(mesh.lmk_ids)):
+            p = int(assign_np[t_i])
+            if p < 0:
+                continue
+            for lid in ids3:
+                id_to_plane.setdefault(int(lid), p)
+        lmk_ids_np = np.asarray(lmk.ids)
+        plane_assoc = np.full(len(lmk_ids_np), -1, np.int32)
+        for r, lid in enumerate(lmk_ids_np):
+            if lid >= 0 and int(lid) in id_to_plane:
+                plane_assoc[r] = id_to_plane[int(lid)]
+        if (plane_assoc >= 0).sum() < 3:
+            return win
+        win2, planes2, _ = rv.regular_backend_solve(
+            self.backend_cfg, win, lmk, planes,
+            jnp.asarray(plane_assoc),
+            jnp.float32(0.1),
+            gn_iters=1,
+        )
+        return win2
 
     def _refine_mesh(self, mesh, depth_img, pose_R, pose_t):
         """Depth-based mesh refinement (reference MeshOptimization.cpp):
@@ -722,6 +774,15 @@ class StereoImuPipeline:
                     # Depth-based mesh refinement (MeshOptimization.cpp):
                     # `right` is the metric depth image in RGB-D mode.
                     mesh = self._refine_mesh(mesh, right, pose_R, pose_t)
+                if self.use_regular_vio and mesh is not None:
+                    # RegularVIO plane feedback (backend_type: 1, the EuRoC
+                    # default): mesher plane hypotheses + landmark-plane
+                    # association feed the regularity-constrained joint
+                    # solve, refining the live window (reference
+                    # RegularVioBackend.cpp:635-803 + Mesher association
+                    # :1316; the plane queue is keyframe-lagged there too).
+                    nonlocal win, lmk
+                    win = self._regular_refine(win, lmk, mesh, fo)
             if lcd_module is not None:
                 from kimera_vio_tpu.frontend.camera import remap_bilinear
 

@@ -184,3 +184,51 @@ def test_external_odometry_end_to_end():
     )
     rmse = float(np.sqrt(((est - gt_interp) ** 2).sum(-1).mean()))
     assert rmse < 0.06, rmse
+
+
+@pytest.mark.slow
+def test_regular_vio_selected_and_refines():
+    """backend_type=1 + mesher: pipeline selects RegularVIO; a synthetic
+    horizontal-plane mesh drives the regularity-constrained joint solve
+    through _regular_refine (reference RegularVioBackend selection,
+    Pipeline-definitions backend_type)."""
+    import jax.numpy as jnp
+    from kimera_vio_tpu.backend import smoother as sm
+    from kimera_vio_tpu.mesher.mesher import Mesh3D
+
+    p = _params()
+    p.backend.backend_type = 1
+    pipe = StereoImuPipeline(p, parallel_run=False, enable_mesher=True)
+    assert pipe.use_regular_vio
+    # Window with two states; landmarks on a z=1.0 horizontal plane with
+    # noise; mesh triangles over them assigned to that plane.
+    K = pipe.backend_cfg.nr_states
+    L = pipe.backend_cfg.max_landmarks
+    win = sm.Window.empty(K)
+    from kimera_vio_tpu.common.types import NavState
+
+    win = sm.bootstrap(
+        pipe.backend_cfg, win,
+        NavState(rot=jnp.eye(3), pos=jnp.zeros(3), vel=jnp.zeros(3)),
+        jnp.zeros(6), jnp.float32(0.0),
+    )
+    lmk = sm.LandmarkTable.empty(L, K)
+    rng = np.random.default_rng(0)
+    n = 60
+    pts = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+         np.full(n, 1.0) + rng.normal(0, 0.002, n)], -1
+    ).astype(np.float32)
+    ids = np.arange(n, dtype=np.int32)
+    tris_idx = np.stack([ids[:-2], ids[1:-1], ids[2:]], -1)
+    mesh = Mesh3D(lmk_ids=tris_idx, vertices=pts[tris_idx])
+    lmk = lmk.replace(
+        ids=lmk.ids.at[:n].set(jnp.asarray(ids)),
+        pts=lmk.pts.at[:n].set(jnp.asarray(pts)),
+        pts_ok=lmk.pts_ok.at[:n].set(True),
+    )
+    fo = {}
+    win2 = pipe._regular_refine(win, lmk, mesh, fo)
+    # The refine ran (no-op windows would return the same object).
+    assert win2 is not win
+    assert np.isfinite(np.asarray(win2.pos)).all()
