@@ -505,6 +505,49 @@ class LcdParams(ParamsBase):
 
 
 @dataclass
+class DisplayParams(ParamsBase):
+    """reference params/Euroc/DisplayParams.yaml (OpenCv3dDisplayParams,
+    Pipeline-definitions.cpp:157-170)."""
+
+    display_type: int = 0  # 0 OpenCV (file-backed here), 1 Pangolin
+    hold_2d_display: bool = False
+    hold_3d_display: bool = False
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "DisplayParams":
+        d = _load_opencv_yaml(path)
+        return cls(
+            display_type=int(d.get("display_type", 0)),
+            hold_2d_display=bool(int(d.get("hold_2d_display", 0))),
+            hold_3d_display=bool(int(d.get("hold_3d_display", 0))),
+        )
+
+
+@dataclass
+class OdometryParams(ParamsBase):
+    """reference ExternalOdometryParams.yaml (uHumans2 trees;
+    Pipeline-definitions.cpp:179-186): body-from-odometry extrinsics +
+    between-factor precisions."""
+
+    T_BS: np.ndarray = field(default_factory=lambda: np.eye(4))
+    rate_hz: float = 200.0
+    position_precision: float = 1.0e-3
+    rotation_precision: float = 1.0e-4
+    velocity_precision: float = 1.0e-2
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "OdometryParams":
+        d = _load_opencv_yaml(path)
+        return cls(
+            T_BS=_mat(d["T_BS"]) if "T_BS" in d else np.eye(4),
+            rate_hz=float(d.get("rate_hz", 200.0)),
+            position_precision=float(d.get("odomPositionPrecision", 1e-3)),
+            rotation_precision=float(d.get("odomRotationPrecision", 1e-4)),
+            velocity_precision=float(d.get("odomVelPrecision", 1e-2)),
+        )
+
+
+@dataclass
 class VioParams(ParamsBase):
     """Aggregate of all pipeline parameters, parsed from a params folder —
     the TPU-native `VioParams` (reference Pipeline-definitions.cpp:110-186).
@@ -520,6 +563,8 @@ class VioParams(ParamsBase):
     frontend: FrontendParams = field(default_factory=FrontendParams)
     backend: BackendParams = field(default_factory=BackendParams)
     lcd: LcdParams = field(default_factory=LcdParams)
+    display: "DisplayParams" = field(default_factory=lambda: DisplayParams())
+    odometry: Optional["OdometryParams"] = None
 
     # --- TPU static-shape capacities (not in reference; see SURVEY.md §7) ---
     max_features: int = 384  # feature slots (>= maxFeaturesPerFrame, mult of 128)
@@ -542,6 +587,14 @@ class VioParams(ParamsBase):
         lcd = LcdParams()
         if os.path.exists(p("LcdParams.yaml")):
             lcd = LcdParams.from_yaml(p("LcdParams.yaml"))
+        display = DisplayParams()
+        if os.path.exists(p("DisplayParams.yaml")):
+            display = DisplayParams.from_yaml(p("DisplayParams.yaml"))
+        odometry = None
+        if os.path.exists(p("ExternalOdometryParams.yaml")):
+            odometry = OdometryParams.from_yaml(
+                p("ExternalOdometryParams.yaml")
+            )
         return cls(
             pipeline=pipeline,
             imu=ImuParams.from_yaml(p("ImuParams.yaml")),
@@ -550,4 +603,6 @@ class VioParams(ParamsBase):
             frontend=FrontendParams.from_yaml(p("FrontendParams.yaml")),
             backend=BackendParams.from_yaml(p("BackendParams.yaml")),
             lcd=lcd,
+            display=display,
+            odometry=odometry,
         )

@@ -141,6 +141,7 @@ class EurocDataProvider:
         max_imu_per_frame: int = 16,
         imu_time_shift_ns: int = 0,
         equalize: bool = False,
+        do_coarse_imu_camera_temporal_sync: bool = False,
     ):
         mav0 = dataset_path
         if os.path.isdir(os.path.join(dataset_path, "mav0")):
@@ -148,6 +149,8 @@ class EurocDataProvider:
         self.root = mav0
         self.equalize = equalize
         self.imu_time_shift_ns = imu_time_shift_ns
+        self._do_coarse_sync = do_coarse_imu_camera_temporal_sync
+        self.imu_timestamp_correction_ns = 0
 
         # --- IMU ---
         rows = _read_csv(os.path.join(mav0, "imu0", "data.csv"))
@@ -211,7 +214,30 @@ class EurocDataProvider:
         DataProviderModule path collapsed into one host loop)."""
         prev_t = None
         for k in range(self.initial_k, self.final_k):
-            t = int(self.left_stamps[k]) + self.imu_time_shift_ns
+            if self._do_coarse_sync:
+                # Coarse IMU-camera clock alignment on the first frame
+                # (reference DataProviderModule.cpp:110-120: correction =
+                # newest-IMU stamp minus frame stamp; offline equivalent =
+                # the IMU sample nearest this frame). Inaccurate by design;
+                # the fine cross-correlation aligner refines it.
+                i = int(
+                    np.clip(
+                        np.searchsorted(
+                            self.imu_stamps_ns, self.left_stamps[k]
+                        ),
+                        0,
+                        len(self.imu_stamps_ns) - 1,
+                    )
+                )
+                self.imu_timestamp_correction_ns = int(
+                    self.imu_stamps_ns[i] - self.left_stamps[k]
+                )
+                self._do_coarse_sync = False
+            t = (
+                int(self.left_stamps[k])
+                + self.imu_time_shift_ns
+                + self.imu_timestamp_correction_ns
+            )
             packet = {
                 "index": k,
                 "stamp_ns": int(self.left_stamps[k]),

@@ -161,3 +161,74 @@ def match_stereo(
     )
     uv_right = jnp.stack([uR, vR], axis=-1)
     return uv_right, depth, ok
+
+
+def dense_stereo(
+    left_rect: jax.Array,  # (H,W) rectified left
+    right_rect: jax.Array,  # (H,W) rectified right
+    *,
+    min_disparity: int = 0,
+    num_disparities: int = 64,
+    block_size: int = 9,
+    uniqueness_ratio: float = 1.05,
+    subpixel: bool = True,
+):
+    """Dense block-matching disparity map — the role of the reference's
+    StereoBM/SGBM passthrough (StereoMatcher::denseStereoReconstruction,
+    StereoMatcher.cpp:32-121), TPU-native: the SAD cost volume is a
+    lax.scan over disparities of box-filtered absolute differences (one
+    shifted elementwise pass per disparity, no per-pixel gathers), then
+    argmin + OpenCV-style uniqueness (second-best excludes the +-1
+    neighborhood of the winner) + 3-tap parabola subpixel refinement.
+
+    Returns (disparity (H,W) float32, valid (H,W) bool)."""
+    from kimera_vio_tpu.ops.corner_detection import _conv2d
+
+    H, W = left_rect.shape
+    L = left_rect.astype(jnp.float32)
+    R = right_rect.astype(jnp.float32)
+    r = block_size // 2
+    kcol = np.ones((block_size, 1), np.float32)
+    big = jnp.float32(1e30)
+    x = jnp.arange(W)
+
+    def one_cost(_, d):
+        Rs = jnp.roll(R, d, axis=1)  # Rs[y,x] = R[y, x-d]
+        ad = jnp.abs(L - Rs)
+        c = _conv2d(_conv2d(ad, kcol), kcol.T)
+        c = jnp.where(
+            (x[None, :] >= d + r) & (x[None, :] < W - r), c, big
+        )
+        return None, c
+
+    ds = jnp.arange(min_disparity, min_disparity + num_disparities)
+    _, costs = jax.lax.scan(one_cost, None, ds)  # (D,H,W)
+
+    best_i = jnp.argmin(costs, axis=0)  # (H,W) index into ds
+    best = jnp.min(costs, axis=0)
+    # Uniqueness: second-best outside the winner's +-1 neighborhood.
+    di = jnp.arange(num_disparities)
+    near = jnp.abs(di[:, None, None] - best_i[None]) <= 1
+    second = jnp.min(jnp.where(near, big, costs), axis=0)
+
+    disparity = (best_i + min_disparity).astype(jnp.float32)
+    if subpixel:
+        cm1 = jnp.take_along_axis(
+            costs, jnp.clip(best_i - 1, 0, num_disparities - 1)[None], axis=0
+        )[0]
+        cp1 = jnp.take_along_axis(
+            costs, jnp.clip(best_i + 1, 0, num_disparities - 1)[None], axis=0
+        )[0]
+        denom = cm1 + cp1 - 2.0 * best
+        delta = jnp.where(
+            denom > 1e-6, 0.5 * (cm1 - cp1) / jnp.maximum(denom, 1e-6), 0.0
+        )
+        disparity = disparity + jnp.clip(delta, -0.5, 0.5)
+
+    valid = (
+        (best < big * 0.5)
+        & (second >= best * uniqueness_ratio)
+        & (best_i > 0)
+        & (best_i < num_disparities - 1)
+    )
+    return disparity, valid

@@ -22,6 +22,7 @@ imu_bias_update_callback (StereoImuPipeline.cpp:141-145).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -109,6 +110,17 @@ class StereoImuPipeline:
             params.backend, params.imu, self.stereo,
             max_landmarks=params.max_landmarks,
         )
+        if params.odometry is not None:
+            # External-odometry noise from ExternalOdometryParams.yaml
+            # (odomRotation/PositionPrecision -> between-factor sigmas).
+            self.backend_cfg = self.backend_cfg.replace(
+                ext_odom_rot_sigma=jnp.float32(
+                    1.0 / np.sqrt(max(params.odometry.rotation_precision, 1e-12))
+                ),
+                ext_odom_pos_sigma=jnp.float32(
+                    1.0 / np.sqrt(max(params.odometry.position_precision, 1e-12))
+                ),
+            )
         self.parallel_run = (
             params.pipeline.parallel_run if parallel_run is None else parallel_run
         )
@@ -715,11 +727,24 @@ class StereoImuPipeline:
         # OdometryBuffer as `.odometry` (the reference registers odometry
         # callbacks on the DataProviderInterface).
         odom_buf = getattr(provider, "odometry", None)
+        from kimera_vio_tpu.config import flags as _flags
+
+        self._gt_to_log = (
+            provider.ground_truth
+            if _flags.get_flag("log_euroc_gt_data")
+            and getattr(provider, "ground_truth", None) is not None
+            else None
+        )
         mesher = lcd_module = visualizer = display = None
+        self._mesher_logger = None
         if self.enable_mesher:
             from kimera_vio_tpu.mesher.mesher import Mesher
 
             mesher = Mesher()
+            if self.output_path:
+                from kimera_vio_tpu.utils.logger import MesherLogger
+
+                self._mesher_logger = MesherLogger(self.output_path)
         if self.enable_lcd:
             from kimera_vio_tpu.pipeline.lcd_module import LcdModule
 
@@ -789,6 +814,10 @@ class StereoImuPipeline:
                 lrect = remap_bilinear(left, self.frontend.map_left)
                 rrect = remap_bilinear(right, self.frontend.map_right)
                 lcd_module.add_keyframe(lrect, rrect, pose_R, pose_t, stamp_ns)
+            if mesh is not None and self.output_path and self._mesher_logger:
+                verts = mesh.vertices.reshape(-1, 3)
+                tri_idx = np.arange(len(verts)).reshape(-1, 3)
+                self._mesher_logger.log(verts, tri_idx)
             if visualizer is not None:
                 w = visualizer.spin_once(
                     pose_R, pose_t,
@@ -994,6 +1023,30 @@ class StereoImuPipeline:
             wall = self.stats.get("vio_step [ms]").total / 1e3
             plog.log(out.n_frames, max(wall, 1e-9), out.n_keyframes)
             plog.close()
+        if self.output_path and getattr(self, "_gt_to_log", None) is not None:
+            # EurocGtLogger (reference Logger.cpp:66-85): traj_gt.csv in
+            # the same schema, behind --log_euroc_gt_data.
+            gt = self._gt_to_log
+            with open(
+                os.path.join(self.output_path, "traj_gt.csv"), "w"
+            ) as f:
+                f.write(
+                    "#timestamp,x,y,z,qw,qx,qy,qz,vx,vy,vz,bgx,bgy,bgz,"
+                    "bax,bay,baz\n"
+                )
+                for i in range(len(gt.stamps_ns)):
+                    row = [
+                        int(gt.stamps_ns[i]), *gt.positions[i],
+                        *gt.quats_wxyz[i], *gt.velocities[i],
+                        *gt.gyro_bias[i], *gt.accel_bias[i],
+                    ]
+                    f.write(
+                        ",".join(
+                            f"{x:.9g}" if j else str(x)
+                            for j, x in enumerate(row)
+                        )
+                        + "\n"
+                    )
 
     # ------------------------------------------------------------------
     @staticmethod

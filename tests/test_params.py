@@ -86,3 +86,50 @@ def test_other_param_trees_parse():
         if os.path.isdir(folder):
             v = VioParams.from_folder(folder)
             assert v.left_cam.width > 0
+
+
+def test_all_reference_param_trees_load():
+    """Every shipped reference params tree parses end to end, including
+    DisplayParams and ExternalOdometryParams (Pipeline-definitions.cpp
+    aggregate)."""
+    import os
+
+    from kimera_vio_tpu.frontend.camera import PinholeCamera
+
+    base = "/root/reference/params"
+    if not os.path.isdir(base):
+        import pytest
+
+        pytest.skip("reference params not mounted")
+    n = 0
+    for tree in sorted(os.listdir(base)):
+        path = os.path.join(base, tree)
+        if not os.path.isdir(path):
+            continue
+        p = VioParams.from_folder(path)
+        PinholeCamera.from_params(p.left_cam)
+        assert p.display is not None
+        n += 1
+    assert n >= 7
+
+
+def test_uhumans2_odometry_params():
+    p = VioParams.from_folder("/root/reference/params/uHumans2")
+    assert p.odometry is not None
+    assert p.odometry.position_precision == 1.0e-3
+    assert p.odometry.rotation_precision == 1.0e-4
+    assert p.odometry.T_BS.shape == (4, 4)
+
+
+def test_coarse_temporal_sync_applies_correction():
+    """do_coarse_imu_camera_temporal_sync computes the IMU-camera clock
+    correction from the first frame (DataProviderModule.cpp:110-120)."""
+    from kimera_vio_tpu.dataprovider.euroc import EurocDataProvider
+
+    d = "/root/reference/tests/data/MicroEurocDataset"
+    prov = EurocDataProvider(d, do_coarse_imu_camera_temporal_sync=True)
+    packets = list(prov.frames())
+    assert len(packets) > 0
+    # EuRoC shares one clock: the correction is the sub-sample gap to the
+    # nearest IMU stamp (< one IMU period = 5 ms).
+    assert abs(prov.imu_timestamp_correction_ns) < 5_000_000

@@ -116,3 +116,29 @@ def test_invalid_inputs_stay_invalid():
         max_disparity=64,
     )
     assert not np.asarray(ok).any()
+
+
+def test_dense_stereo_recovers_constant_disparity():
+    """Dense BM path (StereoMatcher::denseStereoReconstruction role):
+    subpixel-accurate on a synthetic constant-disparity pair."""
+    from kimera_vio_tpu.ops.stereo_matching import dense_stereo
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.RandomState(0)
+    H, W, D = 96, 160, 24
+    tex = gaussian_filter(rng.rand(H, W + D + 10).astype(np.float32) * 255, 1.2)
+    d_true = 7.3
+    left = tex[:, D : D + W]
+    xs = np.arange(W) + D + d_true
+    x0 = np.floor(xs).astype(int)
+    f = xs - x0
+    right = tex[:, x0] * (1 - f) + tex[:, x0 + 1] * f
+    disp, ok = dense_stereo(
+        jnp.asarray(left), jnp.asarray(right), num_disparities=D
+    )
+    disp = np.asarray(disp)
+    ok = np.asarray(ok)
+    assert ok.mean() > 0.8
+    err = np.abs(disp[ok] - d_true)
+    assert np.median(err) < 0.2
+    assert np.percentile(err, 90) < 0.5
