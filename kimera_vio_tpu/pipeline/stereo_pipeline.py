@@ -444,14 +444,22 @@ class StereoImuPipeline:
                 fe_state, win, lmk, pair[0], pair[1], blk, a[B * 8]
             )
             if minimal:
-                fo = {
-                    k: fo[k]
-                    for k in (
-                        "is_keyframe", "n_tracked", "rot", "pos", "vel",
-                        "bias", "median_disparity", "n_mono_inliers",
-                        "n_stereo_inliers",
-                    )
-                }
+                # ONE packed (26,) f32 row per frame: device->host transfers
+                # on this platform pay ~30-80 ms latency EACH, so the whole
+                # chunk's outputs ride back in a single (C,26) array.
+                fo = jnp.concatenate(
+                    [
+                        fo["is_keyframe"].astype(jnp.float32)[None],
+                        fo["n_tracked"].astype(jnp.float32)[None],
+                        fo["median_disparity"][None],
+                        fo["n_mono_inliers"].astype(jnp.float32)[None],
+                        fo["n_stereo_inliers"].astype(jnp.float32)[None],
+                        fo["rot"].reshape(9),
+                        fo["pos"],
+                        fo["vel"],
+                        fo["bias"],
+                    ]
+                )
             return (fe_state, win, lmk), fo
 
         (fe_state, win, lmk), fos = jax.lax.scan(
@@ -563,11 +571,30 @@ class StereoImuPipeline:
         th = threading.Thread(target=stager, daemon=True)
         th.start()
 
-        pending = []  # (chunk_packets, fos) readbacks, drained with lag
         minimal = not collect_aux
 
         def drain(item):
             chunk, fos = item
+            if minimal:
+                host = np.asarray(fos)  # (C,26) — one transfer
+                for i, p in enumerate(chunk):
+                    out.n_frames += 1
+                    row = host[i]
+                    if self.frontend_logger:
+                        self.frontend_logger.log(
+                            p["stamp_ns"], bool(row[0] > 0.5), int(row[1]),
+                            float(row[2]), int(row[3]), int(row[4]), 0.0,
+                        )
+                    if row[0] > 0.5:
+                        out.n_keyframes += 1
+                        self._record_raw(
+                            out, p["stamp_ns"], row[14:17],
+                            self._np_rot_to_quat(row[5:14].reshape(3, 3)),
+                            row[17:20], row[20:26],
+                        )
+                        if self.logger:
+                            self.logger.log_timing(p["stamp_ns"], 0.0)
+                return
             host = jax.tree.map(np.asarray, fos)
             for i, p in enumerate(chunk):
                 out.n_frames += 1
@@ -586,6 +613,20 @@ class StereoImuPipeline:
                     fo_i = {k: v[i] for k, v in host.items()}
                     self._record_out(out, p["stamp_ns"], fo_i)
 
+        # Drain on a worker thread: the d2h fetch (latency-bound on this
+        # platform) must never stall the dispatch loop.
+        drain_q: _q.Queue = _q.Queue()
+
+        def drainer():
+            while True:
+                item = drain_q.get()
+                if item is None:
+                    return
+                drain(item)
+
+        dth = threading.Thread(target=drainer, daemon=True)
+        dth.start()
+
         ci = 0
         while True:
             item = staged.get()
@@ -595,20 +636,16 @@ class StereoImuPipeline:
             fe_state, win, lmk, fos = self._chunk_step(
                 fe_state, win, lmk, imgs, aux, B, minimal=minimal
             )
-            # Async readback issue; drain one chunk behind to keep the
-            # device busy while results stream back.
             try:
                 jax.tree.map(lambda x: x.copy_to_host_async(), fos)
             except Exception:
                 pass
-            pending.append((chunks[ci], fos))
+            drain_q.put((chunks[ci], fos))
             ci += 1
-            if len(pending) > 1:
-                drain(pending.pop(0))
             if verbose and ci % 8 == 0:
                 print(f"chunk {ci}/{len(chunks)}")
-        for item in pending:
-            drain(item)
+        drain_q.put(None)
+        dth.join()
         self._write_final_logs(out)
         return out
 
