@@ -100,3 +100,21 @@ class BowVocabulary:
         """DBoW2 L1 score of v (W,) against db (K, W): 1 - 0.5*|v-w|_1
         (both L1-normalized)."""
         return 1.0 - 0.5 * jnp.abs(v[None, :] - db).sum(-1)
+
+    # ---- persistence (the role of the reference's ORBvoc.yml load,
+    # LoopClosureDetector.cpp:37-75; npz instead of the 100MB yml) ----
+    def save(self, path: str):
+        import numpy as np
+
+        np.savez(
+            path,
+            codebook=np.asarray(self.codebook),
+            idf=np.asarray(self.idf),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "BowVocabulary":
+        import numpy as np
+
+        d = np.load(path)
+        return cls(jnp.asarray(d["codebook"]), jnp.asarray(d["idf"]))

@@ -36,7 +36,10 @@ class LcdModule:
         vocab_train_kfs: int = 20,
         n_words: int = 256,
         cache_dir: str | None = None,
+        vocab_path: str | None = None,
     ):
+        import os
+
         self.stereo = stereo
         self.cfg = cfg or LcdConfig(n_features=n_features)
         self.n_features = n_features
@@ -47,6 +50,14 @@ class LcdModule:
         self._train_mask = []
         self.lcd: LoopClosureDetector | None = None
         self.cache = FrameCache(cache_dir)
+        if vocab_path and os.path.exists(vocab_path):
+            # Pretrained codebook (the reference's ORBvoc.yml role): place
+            # recognition is active from the first keyframe, and the
+            # codebook is sequence-independent.
+            self.lcd = LoopClosureDetector(
+                BowVocabulary.load(vocab_path), self.cfg, self.stereo,
+                cache=self.cache,
+            )
 
         self._detect = jax.jit(
             lambda im: det.detect_features(

@@ -151,8 +151,21 @@ class StereoImuPipeline:
         verts = jnp.asarray(mesh.vertices, jnp.float32)
         normals = mm.triangle_normals(verts)
         g_axis = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+        keep = jnp.ones(len(mesh.vertices), bool)
         pn, pd, pv, tri_assign = mm.segment_horizontal_planes(
-            verts, jnp.ones(len(mesh.vertices), bool), normals, g_axis
+            verts, keep, normals, g_axis
+        )
+        # Vertical planes (walls, theta-d histogram — Mesher.cpp:1132)
+        # join the hypothesis set after the horizontal ones.
+        wn, wd, wv, wall_assign = mm.segment_walls(verts, keep, normals, g_axis)
+        n_h = pn.shape[0]
+        pn = jnp.concatenate([pn, wn])
+        pd = jnp.concatenate([pd, wd])
+        pv = jnp.concatenate([pv, wv])
+        tri_assign = jnp.where(
+            (tri_assign < 0) & (wall_assign >= 0),
+            wall_assign + n_h,
+            tri_assign,
         )
         if not bool(np.asarray(pv).any()):
             return win

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Build a pretrained BoW codebook from a EuRoC-format dataset's images
+(the role of shipping DBoW2's ORBvoc.yml: a sequence-independent
+vocabulary; here trained with k-majority over ORB-class descriptors from
+dataset frames and saved as a small npz)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", help="EuRoC mav0 folder")
+    ap.add_argument("out", help="output npz path")
+    ap.add_argument("--n-words", type=int, default=256)
+    ap.add_argument("--stride", type=int, default=4)
+    ap.add_argument("--max-frames", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from kimera_vio_tpu.dataprovider.euroc import EurocDataProvider
+    from kimera_vio_tpu.loopclosure import orb as orb_mod
+    from kimera_vio_tpu.loopclosure.vocab import (
+        BowVocabulary,
+        train_vocabulary,
+    )
+    from kimera_vio_tpu.ops import corner_detection as det
+
+    prov = EurocDataProvider(args.dataset)
+    descs, masks = [], []
+    packets = list(prov.frames())[:: args.stride][: args.max_frames]
+    for p in packets:
+        img = jnp.asarray(prov.load_image(p["left_path"])).astype(jnp.float32)
+        uv, ok = det.detect_features(
+            img, jnp.zeros((8, 2), jnp.float32), jnp.zeros(8, bool), 256,
+            min_distance=12.0, do_subpixel=False,
+        )
+        d, _, dok = orb_mod.orb_descriptors(img, uv, ok)
+        descs.append(np.asarray(d))
+        masks.append(np.asarray(dok))
+    cb = train_vocabulary(
+        jnp.asarray(np.concatenate(descs)),
+        jnp.asarray(np.concatenate(masks)),
+        n_words=args.n_words,
+        iters=8,
+    )
+    BowVocabulary(cb).save(args.out)
+    print(f"saved {args.out}: {args.n_words} words from "
+          f"{sum(m.sum() for m in masks)} descriptors / {len(packets)} frames")
+
+
+if __name__ == "__main__":
+    main()

@@ -258,3 +258,25 @@ class TestFrameCacheBoundsMemory:
         # Identical descriptors + identical geometry -> at least one
         # verified loop whose match payload came through the cache.
         assert len(lcd.loops) > 0
+
+
+def test_pretrained_vocab_roundtrip_and_immediate_lcd(tmp_path):
+    """BowVocabulary.save/load + LcdModule(vocab_path=...): place
+    recognition active from keyframe 0 (the reference's pretrained
+    ORBvoc.yml role)."""
+    from kimera_vio_tpu.loopclosure.vocab import BowVocabulary
+    from kimera_vio_tpu.pipeline.lcd_module import LcdModule
+    from kimera_vio_tpu.pipeline.mono_pipeline import mono_rig
+    from kimera_vio_tpu.config.params import CameraParams
+
+    shipped = "kimera_vio_tpu/data/bow_vocab_256.npz"
+    v = BowVocabulary.load(shipped)
+    assert v.n_words == 256
+    p = str(tmp_path / "v.npz")
+    v.save(p)
+    v2 = BowVocabulary.load(p)
+    np.testing.assert_array_equal(np.asarray(v.codebook), np.asarray(v2.codebook))
+
+    stereo = mono_rig(CameraParams(), 0.11)
+    mod = LcdModule(stereo, vocab_path=shipped)
+    assert mod.lcd is not None  # active immediately, no training phase
