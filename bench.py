@@ -27,7 +27,7 @@ import numpy as np
 BASELINE_FPS = 78.0
 MICRO_EUROC = "/root/reference/tests/data/MicroEurocDataset"
 EUROC_PARAMS = "/root/reference/params/Euroc"
-CHUNK = 16
+CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
 
 
 def main():
