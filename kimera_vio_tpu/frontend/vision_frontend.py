@@ -689,15 +689,39 @@ class StereoFrontend:
             }
             return kf_state, meas_out, extras
 
-        # 6. Sparse stereo on the tracked inliers.
-        meas_tracked, _ = self._stereo_measurements(
-            left_rect, right_rect, feats_inl
+        # 6+8 reordered for ONE stereo-match call per keyframe (the
+        # reference matches twice — before RANSAC on tracked features and
+        # again after refill, StereoVisionImuFrontend.cpp:364,426; here
+        # re-detection runs first and a single match covers the merged
+        # set. The stereo RANSAC below is unaffected: it only uses pairs
+        # with last-keyframe stereo data, which new detections lack. The
+        # one deviation is that re-detection occupancy cannot see
+        # stereo-RANSAC outliers, whose cells refill next keyframe.)
+        uv_new, new_valid = det.detect_features(
+            left_img,
+            feats_inl.uv,
+            feats_inl.mask,
+            cfg.max_features,
+            quality_level=cfg.quality_level,
+            min_distance=cfg.min_distance,
+            nr_horizontal_bins=cfg.nr_horizontal_bins,
+            nr_vertical_bins=cfg.nr_vertical_bins,
+            do_subpixel=cfg.do_subpixel,
+        )
+        feats_full, next_id = self._merge_detections(
+            feats_inl, uv_new, new_valid, state.next_id
+        )
+        meas_full, _ = self._stereo_measurements(
+            left_rect, right_rect, feats_full
         )
 
         # 7. Stereo RANSAC: 1-pt voting given rotation on 3D-3D pairs
         # between the last keyframe and now (needs lkf stereo depths; we
         # use the backend's triangulations in the pipeline — here the
         # voting runs on instantaneous stereo backprojections).
+        meas_tracked = meas_full.replace(
+            mask=meas_full.mask & feats_inl.mask
+        )
         p_cur = self.stereo.backproject_rect(meas_tracked.uvs)
         # lkf 3D points from stored lkf measurements.
         p_ref = self.stereo.backproject_rect(state.lkf_uvd)
@@ -730,29 +754,14 @@ class StereoFrontend:
         # landmarks invalid, Tracker.cpp:856-917) — but only when the model
         # is trusted (enough inliers).
         stereo_trust = n_stereo >= cfg.min_stereo_inliers
-        feats_inl = feats_inl.replace(
-            mask=feats_inl.mask & (stereo_inl | ~both | ~stereo_trust)
+        kill = both & ~stereo_inl & stereo_trust
+        feats_full = feats_full.replace(
+            mask=feats_full.mask & ~kill,
+            ids=jnp.where(kill, -1, feats_full.ids),
         )
-
-        # 8. Re-detect features to refill capacity (on the RAW image —
-        # detection coords live in the tracking domain).
-        uv_new, new_valid = det.detect_features(
-            left_img,
-            feats_inl.uv,
-            feats_inl.mask,
-            cfg.max_features,
-            quality_level=cfg.quality_level,
-            min_distance=cfg.min_distance,
-            nr_horizontal_bins=cfg.nr_horizontal_bins,
-            nr_vertical_bins=cfg.nr_vertical_bins,
-            do_subpixel=cfg.do_subpixel,
+        meas_out = meas_full.replace(
+            ids=feats_full.ids, mask=meas_full.mask & ~kill
         )
-        feats_full, next_id = self._merge_detections(
-            feats_inl, uv_new, new_valid, state.next_id
-        )
-
-        # Stereo measurements for the refilled set (new features need uR).
-        meas_out, _ = self._stereo_measurements(left_rect, right_rect, feats_full)
 
         grads = self._grads_for_templates(cur_pyr)
         kf_state = state.replace(

@@ -532,7 +532,13 @@ class StereoImuPipeline:
         lmk = sm.update_landmarks(
             lmk, meas0.ids, meas0.uvs, meas0.mask, jnp.int32(0)
         )
-        self._record(out, t0_ns, win, slot=0)
+        # Record the bootstrap state from the HOST-side values (a device
+        # fetch costs ~30-80 ms on the tunnel; win slot 0 == nav0 exactly).
+        self._record_raw(
+            out, t0_ns, np.asarray(nav0.pos),
+            self._np_rot_to_quat(np.asarray(nav0.rot)),
+            np.asarray(nav0.vel), np.asarray(bias0),
+        )
         out.n_keyframes += 1
         out.n_frames += 1
 
