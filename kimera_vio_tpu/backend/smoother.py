@@ -26,6 +26,14 @@ re-solve of the sliding-window normal equations each keyframe
 Everything below is shape-static: partial windows are handled with masks,
 and `backend_step` is a single jittable function
 (state, keyframe-inputs) -> (state, outputs).
+
+Timestamp representation: window stamps are float32 SECONDS RELATIVE to
+the mission start (the pipeline subtracts t0_ns before entering the
+graph). f32 holds ~1e-7 relative resolution, so intra-window dt stays
+microsecond-accurate for missions up to several hours; for longer
+missions rebase t0 periodically on the host (the trajectory output keeps
+absolute int64 nanoseconds throughout, so only the in-graph dt math is
+affected).
 """
 
 from __future__ import annotations

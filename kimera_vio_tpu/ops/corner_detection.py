@@ -237,55 +237,72 @@ def subpixel_refine(
 
     Solves, per keypoint, the cornerSubPix normal equations
     sum(grad gradT) q = sum(grad gradT p) over a (2*window+1)^2 patch,
-    iterating a few times. Patches are integer-aligned dynamic slices,
-    so the whole thing is gathers + small matmuls."""
+    iterating a few times.
+
+    TPU shape: gradients are extracted ONCE per keypoint as an (S,S)
+    patch (S = window size + drift slack), and every iteration re-windows
+    inside the patch with one-hot weight matmuls — zero per-iteration
+    gathers, the same trick as the matmul-form LK."""
     Ix, Iy = image_gradients(img, scharr=False)
     H, W = img.shape
     size = 2 * window + 1
+    slack = 2
+    S = size + 2 * slack
+    pad = S
+    duo = jnp.stack([Ix, Iy])  # (2,H,W)
+    duo_p = jnp.pad(duo, ((0, 0), (pad, pad), (pad, pad)))
+    o = jnp.round(uv).astype(jnp.int32) - window - slack  # (N,2) patch org
+    oyx = jnp.stack([o[:, 1] + pad, o[:, 0] + pad], -1)
+    patches = jax.vmap(
+        lambda oo: jax.lax.dynamic_slice(duo_p, (0, oo[0], oo[1]), (2, S, S))
+    )(oyx)  # (N,2,S,S)
+    Pgx, Pgy = patches[:, 0], patches[:, 1]
+
+    i = jnp.arange(size, dtype=jnp.float32)
+    j = jnp.arange(S, dtype=jnp.float32)
     ps = jnp.arange(size, dtype=jnp.float32) - window
     py, px = jnp.meshgrid(ps, ps, indexing="ij")
+    prec = jax.lax.Precision.HIGHEST
+    of = o.astype(jnp.float32)
 
-    def one(uv0, ok):
-        def body(_, uv_c):
-            x0 = jnp.clip(jnp.round(uv_c[0]).astype(jnp.int32) - window, 0, W - size)
-            y0 = jnp.clip(jnp.round(uv_c[1]).astype(jnp.int32) - window, 0, H - size)
-            gx = jax.lax.dynamic_slice(Ix, (y0, x0), (size, size))
-            gy = jax.lax.dynamic_slice(Iy, (y0, x0), (size, size))
-            # Patch pixel coordinates (absolute).
-            axx = px + x0.astype(jnp.float32) + window
-            ayy = py + y0.astype(jnp.float32) + window
-            gxx = gx * gx
-            gxy = gx * gy
-            gyy = gy * gy
-            A = jnp.array(
-                [[gxx.sum(), gxy.sum()], [gxy.sum(), gyy.sum()]]
-            )
-            bvec = jnp.array(
-                [
-                    (gxx * axx + gxy * ayy).sum(),
-                    (gxy * axx + gyy * ayy).sum(),
-                ]
-            )
-            det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
-            good = jnp.abs(det) > 1e-8
-            safe_det = jnp.where(good, det, 1.0)
-            sol = (
-                jnp.array(
-                    [
-                        A[1, 1] * bvec[0] - A[0, 1] * bvec[1],
-                        -A[1, 0] * bvec[0] + A[0, 0] * bvec[1],
-                    ]
-                )
-                / safe_det
-            )
-            # Clamp the update to the window (reject divergence).
-            delta = jnp.clip(sol - uv_c, -float(window), float(window))
-            return jnp.where(good, uv_c + delta, uv_c)
+    def body(_, uv_c):
+        # Integer window origin within the patch (clamped to the slack).
+        x0 = jnp.clip(
+            jnp.round(uv_c[:, 0]) - window - of[:, 0], 0.0, 2.0 * slack
+        )
+        y0 = jnp.clip(
+            jnp.round(uv_c[:, 1]) - window - of[:, 1], 0.0, 2.0 * slack
+        )
+        Wy = (jnp.abs(y0[:, None, None] + i[None, :, None] - j[None, None, :]) < 0.5).astype(jnp.float32)
+        Wx = (jnp.abs(x0[:, None, None] + i[None, :, None] - j[None, None, :]) < 0.5).astype(jnp.float32)
+        gx = jnp.einsum(
+            "nis,nst,njt->nij", Wy, Pgx, Wx, precision=prec
+        )
+        gy = jnp.einsum(
+            "nis,nst,njt->nij", Wy, Pgy, Wx, precision=prec
+        )
+        # Absolute patch pixel coordinates of the window.
+        axx = px[None] + (x0 + of[:, 0] + window)[:, None, None]
+        ayy = py[None] + (y0 + of[:, 1] + window)[:, None, None]
+        gxx = gx * gx
+        gxy = gx * gy
+        gyy = gy * gy
+        a = gxx.sum((-2, -1))
+        b = gxy.sum((-2, -1))
+        c = gyy.sum((-2, -1))
+        b0 = (gxx * axx + gxy * ayy).sum((-2, -1))
+        b1 = (gxy * axx + gyy * ayy).sum((-2, -1))
+        det = a * c - b * b
+        good = jnp.abs(det) > 1e-8
+        safe_det = jnp.where(good, det, 1.0)
+        sol = jnp.stack(
+            [(c * b0 - b * b1) / safe_det, (-b * b0 + a * b1) / safe_det], -1
+        )
+        delta = jnp.clip(sol - uv_c, -float(window), float(window))
+        return jnp.where(good[:, None], uv_c + delta, uv_c)
 
-        out = jax.lax.fori_loop(0, iters, body, uv0)
-        return jnp.where(ok, out, uv0)
-
-    return jax.vmap(one)(uv, valid)
+    out = jax.lax.fori_loop(0, iters, body, uv)
+    return jnp.where(valid[:, None], out, uv)
 
 
 def detect_features(

@@ -513,24 +513,45 @@ class StereoImuPipeline:
         first = packets[0]
         t0_ns = first["stamp_ns"]
 
-        # ---- bootstrap on frame 0 (outside the scan) ----
-        left0 = jnp.asarray(provider.load_image(first["left_path"]))
-        right0 = (
-            jnp.asarray(provider.load_image(first["right_path"]))
+        # ---- bootstrap on frame 0: ONE stacked transfer + ONE dispatch
+        # (each separate dispatch/transfer pays ~30-80 ms tunnel latency).
+        l0 = provider.load_image(first["left_path"])
+        r0 = (
+            provider.load_image(first["right_path"])
             if "right_path" in first
-            else left0
+            else l0
         )
-        fe_state, meas0 = self.frontend.init_state(left0, right0, 0.0)
+        stack0 = np.stack([l0, r0])
+        if l0.dtype != r0.dtype:  # RGB-D: uint8 left + float depth
+            stack0 = np.stack([l0, r0]).astype(np.float32)
+        pair0 = jnp.asarray(stack0)
         nav0, bias0 = self._bootstrap_state(provider, t0_ns, first["imu"])
-        fe_state = fe_state.replace(
-            imu_bias=ImuBias(accel=bias0[0:3], gyro=bias0[3:6])
-        )
-        win = sm.bootstrap(
-            cfg=self.backend_cfg, win=win, nav=nav0, bias=bias0,
-            stamp=jnp.float32(0.0),
-        )
-        lmk = sm.update_landmarks(
-            lmk, meas0.ids, meas0.uvs, meas0.mask, jnp.int32(0)
+        if not hasattr(self, "_bootstrap_fused"):
+
+            def _bootstrap_impl(pair, R0, p0, v0, b0):
+                fe_state, meas0 = self.frontend._init_state_impl(
+                    pair[0], pair[1], jnp.float32(0.0)
+                )
+                fe_state = fe_state.replace(
+                    imu_bias=ImuBias(accel=b0[0:3], gyro=b0[3:6])
+                )
+                w = sm.Window.empty(self.backend_cfg.nr_states)
+                w = sm.bootstrap(
+                    cfg=self.backend_cfg, win=w,
+                    nav=NavState(rot=R0, pos=p0, vel=v0), bias=b0,
+                    stamp=jnp.float32(0.0),
+                )
+                l = sm.LandmarkTable.empty(
+                    self.backend_cfg.max_landmarks, self.backend_cfg.nr_states
+                )
+                l = sm.update_landmarks(
+                    l, meas0.ids, meas0.uvs, meas0.mask, jnp.int32(0)
+                )
+                return fe_state, w, l
+
+            self._bootstrap_fused = jax.jit(_bootstrap_impl)
+        fe_state, win, lmk = self._bootstrap_fused(
+            pair0, nav0.rot, nav0.pos, nav0.vel, bias0
         )
         # Record the bootstrap state from the HOST-side values (a device
         # fetch costs ~30-80 ms on the tunnel; win slot 0 == nav0 exactly).
