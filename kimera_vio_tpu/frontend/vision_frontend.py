@@ -79,6 +79,10 @@ class FrontendConfig:
     n_hyp_mono: int = struct.field(pytree_node=False, default=128)
     nr_horizontal_bins: int = struct.field(pytree_node=False, default=7)
     nr_vertical_bins: int = struct.field(pytree_node=False, default=5)
+    # FeatureDetector type (FeatureDetector.cpp:34-88): 0 FAST, 1 ORB
+    # (FAST detection + Harris ranking), 2 AGAST (unsupported, like the
+    # reference which LOG(FATAL)s), 3 GFTT (the EuRoC default).
+    detector_type: int = struct.field(pytree_node=False, default=3)
     mono: bool = struct.field(pytree_node=False, default=False)
     rgbd: bool = struct.field(pytree_node=False, default=False)
     use_pallas_lk: bool = struct.field(pytree_node=False, default=False)
@@ -126,6 +130,7 @@ class FrontendConfig:
             templ_rows=fp.templ_rows,
             nr_horizontal_bins=fp.nr_horizontal_bins,
             nr_vertical_bins=fp.nr_vertical_bins,
+            detector_type=fp.feature_detector_type,
             use_2point_mono=fp.ransac_use_2point_mono,
             use_1point_stereo=fp.ransac_use_1point_stereo,
             do_subpixel=fp.enable_subpixel_corner_finder,
@@ -328,6 +333,7 @@ class StereoFrontend:
             feats.uv,
             feats.mask,
             cfg.max_features,
+            detector_type=cfg.detector_type,
             quality_level=cfg.quality_level,
             min_distance=cfg.min_distance,
             nr_horizontal_bins=cfg.nr_horizontal_bins,
@@ -655,6 +661,7 @@ class StereoFrontend:
                 feats_inl.uv,
                 feats_inl.mask,
                 cfg.max_features,
+                detector_type=cfg.detector_type,
                 quality_level=cfg.quality_level,
                 min_distance=cfg.min_distance,
                 nr_horizontal_bins=cfg.nr_horizontal_bins,
@@ -702,6 +709,7 @@ class StereoFrontend:
             feats_inl.uv,
             feats_inl.mask,
             cfg.max_features,
+            detector_type=cfg.detector_type,
             quality_level=cfg.quality_level,
             min_distance=cfg.min_distance,
             nr_horizontal_bins=cfg.nr_horizontal_bins,

@@ -332,6 +332,17 @@ def detect_features(
     img = img.astype(jnp.float32)
     if detector_type == 0:
         resp = fast_score(img, fast_thresh)
+    elif detector_type == 1:
+        # ORB = FAST detection ranked by the Harris response (the cv::ORB
+        # HARRIS_SCORE default): corners must pass the FAST ring test and
+        # are ordered by Harris strength.
+        fs = fast_score(img, fast_thresh)
+        hr = gftt_response(img, block_size, use_harris=True, k=harris_k)
+        resp = jnp.where(fs > 0, hr, -jnp.inf)
+    elif detector_type == 2:
+        # AGAST: unsupported — the reference LOG(FATAL)s on it too
+        # (FeatureDetector.cpp:34-88).
+        raise NotImplementedError("AGAST detector is not supported")
     else:  # 3 = GFTT (default); Harris via flag, like the reference GFTT
         resp = gftt_response(img, block_size, use_harris, harris_k)
     resp = jnp.where(local_max_mask(resp), resp, -jnp.inf)

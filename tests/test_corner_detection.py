@@ -117,3 +117,24 @@ def test_fast_score_positive_on_corner():
     s = det.fast_score(jnp.asarray(img), 10.0)
     # Corner pixels score higher than flat regions.
     assert float(s[40, 40]) > float(s[20, 20])
+
+
+def test_detector_type_orb_and_fast():
+    """Detector-type dispatch (FeatureDetector.cpp:34-88): FAST(0),
+    ORB(1) = FAST-gated Harris ranking, AGAST(2) unsupported like the
+    reference, GFTT(3) default."""
+    img = checkerboard()
+    uv0, m0 = no_existing()
+    for dtype_ in (0, 1, 3):
+        uv, ok = det.detect_features(
+            jnp.asarray(img), uv0, m0, 32, detector_type=dtype_,
+            min_distance=8.0, do_subpixel=False,
+        )
+        assert int(np.asarray(ok).sum()) > 4, dtype_
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        det.detect_features(
+            jnp.asarray(img), uv0, m0, 32, detector_type=2,
+            min_distance=8.0, do_subpixel=False,
+        )
