@@ -486,6 +486,7 @@ class StereoImuPipeline:
         chunk_size: int = 16,
         verbose: bool = False,
         collect_aux: bool = False,
+        super_batch_bytes: int = 96 * 1024 * 1024,
     ) -> PipelineOutput:
         """Offline mode: process the sequence in `chunk_size`-frame device
         dispatches with batched image staging and lagged async readback.
@@ -565,29 +566,40 @@ class StereoImuPipeline:
 
         rest = [p for p in packets[1:] if p.get("imu") is not None]
 
-        # ---- background stager: decode + stack a chunk, TWO device_puts ----
-        # h2d on this platform has ~28 ms fixed latency but ~1 GB/s once
-        # streaming: the whole chunk rides in one stacked uint8 image
-        # transfer + one packed float32 aux transfer (IMU block + stamps),
-        # prepared one chunk ahead of the device.
-        def stage(chunk):
-            # Pad short (final) chunks to chunk_size so every dispatch hits
-            # the one compiled program; padded frames replicate the last
-            # real frame with zeroed IMU masks and are dropped at drain.
-            C = chunk_size
-            n_real = len(chunk)
-            padded = chunk + [chunk[-1]] * (C - n_real)
+        # ---- background stager ------------------------------------------
+        # h2d on this platform has ~28 ms fixed latency and bandwidth that
+        # IMPROVES with transfer size (one big transfer streams ~1 GB/s;
+        # chunk-sized ones can crawl) — so frames are staged in SUPER-
+        # batches of several chunks in ONE stacked uint8 transfer + one
+        # packed f32 aux transfer, and the per-dispatch chunks are sliced
+        # on-device (device-to-device, off the host path).
+        C = chunk_size
+        if rest:
+            frame_bytes = 2 * int(
+                np.prod(provider.load_image(rest[0]["left_path"]).shape)
+            )
+            super_frames = max(
+                C, super_batch_bytes // max(frame_bytes, 1) // C * C
+            )
+        else:
+            super_frames = C
+
+        def stage(batch):
+            n_real = len(batch)
+            n_pad = (-n_real) % C
+            padded = batch + [batch[-1]] * n_pad
             lefts = np.stack(
                 [provider.load_image(p["left_path"]) for p in padded]
             )
             rights = (
                 np.stack([provider.load_image(p["right_path"]) for p in padded])
-                if "right_path" in chunk[0]
+                if "right_path" in batch[0]
                 else lefts
             )
-            imgs = np.stack([lefts, rights], axis=1)  # (C,2,H,W) uint8
-            B = chunk[0]["imu"].capacity
-            aux = np.zeros((C, B * 8 + 1), np.float32)
+            imgs = np.stack([lefts, rights], axis=1)  # (F,2,H,W)
+            B = batch[0]["imu"].capacity
+            F = len(padded)
+            aux = np.zeros((F, B * 8 + 1), np.float32)
             for i, p in enumerate(padded):
                 blk = p["imu"]
                 aux[i, : B * 3] = np.asarray(blk.acc, np.float32).ravel()
@@ -601,11 +613,15 @@ class StereoImuPipeline:
         chunks = [
             rest[i : i + chunk_size] for i in range(0, len(rest), chunk_size)
         ]
+        supers = [
+            rest[i : i + super_frames]
+            for i in range(0, len(rest), super_frames)
+        ]
         staged: _q.Queue = _q.Queue(maxsize=2)
 
         def stager():
-            for c in chunks:
-                staged.put(stage(c))
+            for c in supers:
+                staged.put((stage(c), len(c)))
             staged.put(None)
 
         th = threading.Thread(target=stager, daemon=True)
@@ -672,18 +688,23 @@ class StereoImuPipeline:
             item = staged.get()
             if item is None:
                 break
-            imgs, aux, B = item
-            fe_state, win, lmk, fos = self._chunk_step(
-                fe_state, win, lmk, imgs, aux, B, minimal=minimal
-            )
-            try:
-                jax.tree.map(lambda x: x.copy_to_host_async(), fos)
-            except Exception:
-                pass
-            drain_q.put((chunks[ci], fos))
-            ci += 1
-            if verbose and ci % 8 == 0:
-                print(f"chunk {ci}/{len(chunks)}")
+            (imgs_sb, aux_sb, B), n_real = item
+            n_inner = imgs_sb.shape[0] // C
+            for k in range(n_inner):
+                # Device-side chunk slice (no host traffic).
+                imgs = jax.lax.slice_in_dim(imgs_sb, k * C, (k + 1) * C)
+                aux = jax.lax.slice_in_dim(aux_sb, k * C, (k + 1) * C)
+                fe_state, win, lmk, fos = self._chunk_step(
+                    fe_state, win, lmk, imgs, aux, B, minimal=minimal
+                )
+                try:
+                    jax.tree.map(lambda x: x.copy_to_host_async(), fos)
+                except Exception:
+                    pass
+                drain_q.put((chunks[ci], fos))
+                ci += 1
+                if verbose and ci % 8 == 0:
+                    print(f"chunk {ci}/{len(chunks)}")
         drain_q.put(None)
         dth.join()
         self._write_final_logs(out)

@@ -150,3 +150,27 @@ def test_6dof_synthetic_sequence_ate():
         np.array(out.stamps_ns), est, gt.stamps_ns, gt.positions, align=False
     )
     assert ate["rmse"] < 0.02, ate
+
+
+@pytest.mark.slow
+def test_chunked_mode_matches_sequential():
+    """run_chunked (lax.scan batches + super-batch staging + packed
+    readback) reproduces run() keyframe-for-keyframe to float tolerance —
+    the offline mode's determinism anchor."""
+    from kimera_vio_tpu.dataprovider.synthetic import (
+        SyntheticStereoProvider,
+        synthetic_params,
+    )
+
+    params = synthetic_params(nr_states=8, max_features=96, max_landmarks=128)
+    prov = SyntheticStereoProvider(n_frames=30, vx=0.5)
+    out1 = StereoImuPipeline(params, parallel_run=False).run(prov)
+    prov2 = SyntheticStereoProvider(n_frames=30, vx=0.5)
+    out2 = StereoImuPipeline(params, parallel_run=False).run_chunked(
+        prov2, chunk_size=8
+    )
+    assert out1.n_frames == out2.n_frames
+    assert out1.n_keyframes == out2.n_keyframes
+    p1 = np.stack(out1.positions)
+    p2 = np.stack(out2.positions)
+    np.testing.assert_allclose(p1, p2, atol=1e-4)
