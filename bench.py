@@ -86,8 +86,10 @@ def main():
     warm_s = time.perf_counter() - t0
 
     # --- timed wall pass (staging + transfers + compute + readback) --------
+    # Several repetitions: the tunnel's h2d bandwidth varies ~20x between
+    # runs (shared infra); best-of-N reflects the framework, not weather.
     best = np.inf
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = pipe.run_chunked(pre, chunk_size=CHUNK)
         best = min(best, time.perf_counter() - t0)

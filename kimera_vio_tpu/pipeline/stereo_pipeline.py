@@ -486,7 +486,7 @@ class StereoImuPipeline:
         chunk_size: int = 16,
         verbose: bool = False,
         collect_aux: bool = False,
-        super_batch_bytes: int = 96 * 1024 * 1024,
+        super_batch_bytes: int = 32 * 1024 * 1024,
     ) -> PipelineOutput:
         """Offline mode: process the sequence in `chunk_size`-frame device
         dispatches with batched image staging and lagged async readback.
