@@ -3,6 +3,11 @@
 
 Times each sub-computation with VARYING inputs (the axon tunnel dedups
 repeated arrays) and block_until_ready per repetition batch.
+
+NOTE: dispatch-based timings on the tunnel carry 1-5 ms of noisy
+per-dispatch overhead — prefer scripts/scanbench.py (scan-chained,
+in-graph) for anything small. This script remains useful for end-to-end
+dispatch-level numbers.
 """
 import os
 import time
@@ -44,6 +49,10 @@ def main():
     provider = EurocDataProvider(MICRO_EUROC)
     pipe = StereoImuPipeline(params, parallel_run=True)
     fe = pipe.frontend
+    # The LK comparison below needs the stored pyramid/gradient state of
+    # the gather/pallas configurations (the default matmul tracker carries
+    # a template cache instead).
+    fe.cfg = fe.cfg.replace(lk_impl="gather")
     cfg = fe.cfg
 
     packets = [p for p in provider.frames()]
