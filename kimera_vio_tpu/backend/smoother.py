@@ -534,10 +534,17 @@ def _const_vel_blocks(cfg: BackendConfig, win: Window):
     return Ji * active[:, None, None], Jj * active[:, None, None], r * active[:, None]
 
 
-def _smart_factor_blocks(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
+def _smart_factor_blocks(
+    cfg: BackendConfig, win: Window, lmk: LandmarkTable, pts_fixed=None
+):
     """Linearize + Schur-eliminate all smart stereo landmarks.
 
     Returns (H_pose (K,6,K,6), g_pose (K,6), lmk_points (L,3), lmk_ok (L,)).
+
+    `pts_fixed=(pts, ok)` reuses a previous iteration's triangulation
+    (structure-frozen relinearization): the DLT+refinement is ~half the
+    solve's cost, and landmark positions move sub-mm between GN
+    iterations of one keyframe update.
     """
     K, L = cfg.nr_states, cfg.max_landmarks
     # Camera poses per state.
@@ -545,22 +552,25 @@ def _smart_factor_blocks(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
     t_w_cam = win.pos + jnp.einsum("kij,j->ki", win.rot, cfg.t_b_cam)
 
     obs_mask = lmk.obs_mask & win.mask[None, :] & (lmk.ids >= 0)[:, None]
-    pts, ok, _ = triangulate_stereo_landmarks(
-        R_w_cam,
-        t_w_cam,
-        lmk.obs_uvd,
-        obs_mask,
-        fx=cfg.fx,
-        fy=cfg.fy,
-        cx=cfg.cx,
-        cy=cfg.cy,
-        baseline=cfg.baseline,
-        rank_tolerance=cfg.rank_tolerance,
-        landmark_distance_threshold=cfg.landmark_distance_threshold,
-        outlier_rejection_px=cfg.outlier_rejection_px,
-        newest_idx=jnp.maximum(win.n - 1, 0),
-    )
-    ok = ok & (obs_mask.sum(-1) >= cfg.min_obs_for_triangulation)
+    if pts_fixed is not None:
+        pts, ok = pts_fixed
+    else:
+        pts, ok, _ = triangulate_stereo_landmarks(
+            R_w_cam,
+            t_w_cam,
+            lmk.obs_uvd,
+            obs_mask,
+            fx=cfg.fx,
+            fy=cfg.fy,
+            cx=cfg.cx,
+            cy=cfg.cy,
+            baseline=cfg.baseline,
+            rank_tolerance=cfg.rank_tolerance,
+            landmark_distance_threshold=cfg.landmark_distance_threshold,
+            outlier_rejection_px=cfg.outlier_rejection_px,
+            newest_idx=jnp.maximum(win.n - 1, 0),
+        )
+        ok = ok & (obs_mask.sum(-1) >= cfg.min_obs_for_triangulation)
     # Invalid landmarks can triangulate to garbage/NaN; 0-weight masking
     # does NOT stop NaNs (0 * NaN = NaN), so substitute a benign point
     # (5 m in front of the newest camera) before linearization.
@@ -674,7 +684,7 @@ def _prior_blocks(cfg: BackendConfig, win: Window):
 # ---------------------------------------------------------------------------
 
 
-def _assemble(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
+def _assemble(cfg: BackendConfig, win: Window, lmk: LandmarkTable, pts_fixed=None):
     """Build the full (D,D) GN system at the current estimates."""
     K = cfg.nr_states
     D = K * S_DOF
@@ -682,7 +692,7 @@ def _assemble(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
     g = jnp.zeros((K, S_DOF), win.pos.dtype)
 
     # Smart factors (pose block only: rows 0:6 of the state tangent).
-    H_pose, g_pose, pts, lmk_ok = _smart_factor_blocks(cfg, win, lmk)
+    H_pose, g_pose, pts, lmk_ok = _smart_factor_blocks(cfg, win, lmk, pts_fixed)
     H = H.at[:, 0:6, :, 0:6].add(H_pose)
     g = g.at[:, 0:6].add(g_pose)
 
@@ -731,11 +741,16 @@ def _gn_solve(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
     at its PIM-predicted guess — the same "add priors at the failing key and
     retry" recipe. A still-bad step is rejected entirely (delta = 0), which
     keeps the window finite no matter what the measurement batch contained.
-    Returns the per-call count of recovered iterations for observability."""
+    Returns the per-call count of recovered iterations for observability.
 
-    def body(carry, _):
-        win, n_recovered = carry
-        H, g, pts, lmk_ok = _assemble(cfg, win, lmk)
+    Iterations after the first relinearize around the updated states with
+    the FIRST iteration's triangulation (structure-frozen — the
+    triangulation is ~half the per-iteration cost and moves sub-mm
+    between iterations; the reference's numOptimize extra iterations
+    re-linearize inside iSAM2's cached Bayes tree similarly cheaply)."""
+
+    def body(win, n_recovered, pts_fixed):
+        H, g, pts, lmk_ok = _assemble(cfg, win, lmk, pts_fixed)
         D = H.shape[0]
         # Sanitize: one garbage measurement batch must not poison the
         # whole window (0-weight masking does not stop NaNs).
@@ -781,12 +796,16 @@ def _gn_solve(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
             win.rot, win.pos, win.vel, win.bias, delta
         )
         win = win.replace(rot=rot, pos=pos, vel=vel, bias=bias)
-        return (win, n_recovered + bad.astype(jnp.int32)), (pts, lmk_ok)
+        return win, n_recovered + bad.astype(jnp.int32), (pts, lmk_ok)
 
-    (win, n_recovered), (pts, lmk_ok) = jax.lax.scan(
-        body, (win, jnp.int32(0)), None, length=cfg.gn_iters
-    )
-    return win, jax.tree.map(lambda x: x[-1], (pts, lmk_ok)), n_recovered
+    # Unrolled (gn_iters is static): only the first iteration triangulates.
+    n_recovered = jnp.int32(0)
+    pts_fixed = None
+    pts, lmk_ok = None, None
+    for _ in range(cfg.gn_iters):
+        win, n_recovered, (pts, lmk_ok) = body(win, n_recovered, pts_fixed)
+        pts_fixed = (pts, lmk_ok)
+    return win, (pts, lmk_ok), n_recovered
 
 
 # ---------------------------------------------------------------------------
