@@ -330,7 +330,9 @@ class BackendParams(ParamsBase):
     (src/backend/VioBackendParams.cpp)."""
 
     backend_modality: int = 0
-    auto_initialize: bool = False
+    # 0 = GT/default bootstrap, 1 = IMU attitude, 2 = online visual-inertial
+    # alignment (reference autoInitialize enum, VioBackendParams.cpp).
+    auto_initialize: int = 0
     round_on_auto_initialize: bool = False
     initial_position_sigma: float = 1e-5
     initial_roll_pitch_sigma: float = 10.0 / 180.0 * math.pi
@@ -380,7 +382,7 @@ class BackendParams(ParamsBase):
         g = d.get
         return cls(
             backend_modality=int(g("backend_modality", 0)),
-            auto_initialize=bool(int(g("autoInitialize", 0))),
+            auto_initialize=int(g("autoInitialize", 0)),
             round_on_auto_initialize=bool(int(g("roundOnAutoInitialize", 0))),
             initial_position_sigma=float(g("initialPositionSigma", 1e-5)),
             initial_roll_pitch_sigma=float(g("initialRollPitchSigma", 0.174533)),
@@ -451,8 +453,10 @@ class LcdParams(ParamsBase):
     ransac_threshold_mono: float = 1e-6
     ransac_inlier_threshold_mono: float = 0.5
     ransac_inlier_threshold_stereo: float = 0.3
-    # Pose recovery
-    pose_recovery_type: int = 2
+    # Pose recovery (0 k3d3d, 1 kPnP, 2 k5ptRotOnly — reference header
+    # default k3d3d, LoopClosureDetectorParams.h:81; EuRoC yaml sets 0)
+    pose_recovery_type: int = 0
+    between_rotation_precision: float = 10000.0
     lowe_ratio: float = 0.7
     matcher_type: int = 4
     # ORB
@@ -489,6 +493,7 @@ class LcdParams(ParamsBase):
                 float,
             ),
             "pose_recovery_type": ("pose_recovery_type", int),
+            "betweenRotationPrecision": ("between_rotation_precision", float),
             "lowe_ratio": ("lowe_ratio", float),
             "matcher_type": ("matcher_type", int),
             "nfeatures": ("nfeatures", int),

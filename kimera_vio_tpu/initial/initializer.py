@@ -105,7 +105,16 @@ class OnlineInitializer:
         c = float(a @ b)
         s = np.linalg.norm(v)
         if s < 1e-9:
-            R_fix = np.eye(3) if c > 0 else -np.eye(3)
+            if c > 0:
+                R_fix = np.eye(3)
+            else:
+                # Antiparallel: rotate pi about any axis perpendicular to a
+                # (a proper rotation; -I would be a reflection, det=-1).
+                perp = np.cross(a, [1.0, 0.0, 0.0])
+                if np.linalg.norm(perp) < 1e-6:
+                    perp = np.cross(a, [0.0, 1.0, 0.0])
+                perp /= np.linalg.norm(perp)
+                R_fix = 2.0 * np.outer(perp, perp) - np.eye(3)
         else:
             vx = np.array(
                 [[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]]

@@ -197,7 +197,7 @@ def test_regular_vio_selected_and_refines():
     from kimera_vio_tpu.mesher.mesher import Mesh3D
 
     p = _params()
-    p.backend.backend_type = 1
+    p.pipeline.backend_type = 1
     pipe = StereoImuPipeline(p, parallel_run=False, enable_mesher=True)
     assert pipe.use_regular_vio
     # Window with two states; landmarks on a z=1.0 horizontal plane with
