@@ -345,10 +345,14 @@ def _whiten_from_cov(cov, jitter=1e-12):
     )
 
 
-def _imu_factor_blocks(cfg: BackendConfig, win: Window):
+def _imu_factor_blocks(cfg: BackendConfig, win: Window, ks=None):
     """Linearize all IMU + bias-random-walk factors between consecutive
     states. Returns (Ji, Jj, r) stacked over k=1..K-1 (slot k holds the
-    factor between states k-1 and k), whitened, zeroed where invalid."""
+    factor between states k-1 and k), whitened, zeroed where invalid.
+
+    `ks` optionally restricts to a subset of pair indices (marginalization
+    only needs pair (0,1); linearizing all K-1 pairs there wastes ~K x the
+    work)."""
     K = cfg.nr_states
 
     def retract_one(R, p, v, b, d):
@@ -419,24 +423,29 @@ def _imu_factor_blocks(cfg: BackendConfig, win: Window):
         Jj = jnp.concatenate([Jp_j_w, Jb_j_w], axis=0)
         return Ji, Jj, r
 
-    ks = jnp.arange(1, K)
+    if ks is None:
+        ks = jnp.arange(1, K)
     Ji, Jj, r = jax.vmap(one)(ks)
-    ok = (win.pim_valid[1:] & win.mask[1:] & win.mask[:-1]).astype(win.pos.dtype)
+    ok = (win.pim_valid[ks] & win.mask[ks] & win.mask[ks - 1]).astype(
+        win.pos.dtype
+    )
     Ji = Ji * ok[:, None, None]
     Jj = Jj * ok[:, None, None]
     r = r * ok[:, None]
     return Ji, Jj, r
 
 
-def _no_motion_blocks(cfg: BackendConfig, win: Window):
+def _no_motion_blocks(cfg: BackendConfig, win: Window, ks=None):
     """Zero-velocity prior + no-motion between factor at LOW_DISPARITY
     keyframes (VioBackend.cpp:363-399). Implemented as extra rows on the
     same consecutive-pair layout as the IMU factors."""
     K = cfg.nr_states
+    if ks is None:
+        ks = jnp.arange(1, K)
     active = (
-        (win.status[1:] == STATUS_LOW_DISPARITY)
-        & win.mask[1:]
-        & win.mask[:-1]
+        (win.status[ks] == STATUS_LOW_DISPARITY)
+        & win.mask[ks]
+        & win.mask[ks - 1]
     ).astype(win.pos.dtype)
 
     def one(k):
@@ -458,19 +467,22 @@ def _no_motion_blocks(cfg: BackendConfig, win: Window):
         r = jnp.concatenate([r_rot, r_pos, r_vel])
         return Ji, Jj, r
 
-    ks = jnp.arange(1, K)
     Ji, Jj, r = jax.vmap(one)(ks)
     return Ji * active[:, None, None], Jj * active[:, None, None], r * active[:, None]
 
 
-def _between_blocks(cfg, win, mR, mt, mvalid, rot_sigma, pos_sigma):
+def _between_blocks(cfg, win, mR, mt, mvalid, rot_sigma, pos_sigma, ks=None):
     """Relative-pose BetweenFactor rows on consecutive keyframes: 6-dim
     residual whitened per-axis-class; shared by the external-odometry
     factors (VioBackend.cpp:402-420) and the stereo-RANSAC between factors
     (addBetweenStereoFactors, :324-336 / :974-983). An infinite sigma
     disables that residual class (the reference's precision=0)."""
     K = cfg.nr_states
-    active = (mvalid[1:] & win.mask[1:] & win.mask[:-1]).astype(win.pos.dtype)
+    if ks is None:
+        ks = jnp.arange(1, K)
+    active = (mvalid[ks] & win.mask[ks] & win.mask[ks - 1]).astype(
+        win.pos.dtype
+    )
     w_rot = jnp.where(jnp.isfinite(rot_sigma), 1.0 / rot_sigma, 0.0)
     w_pos = jnp.where(jnp.isfinite(pos_sigma), 1.0 / pos_sigma, 0.0)
 
@@ -495,33 +507,34 @@ def _between_blocks(cfg, win, mR, mt, mvalid, rot_sigma, pos_sigma):
         r = jnp.concatenate([r_rot, r_pos])
         return Ji, Jj, r
 
-    ks = jnp.arange(1, K)
     Ji, Jj, r = jax.vmap(one)(ks)
     return Ji * active[:, None, None], Jj * active[:, None, None], r * active[:, None]
 
 
-def _ext_odom_blocks(cfg: BackendConfig, win: Window):
+def _ext_odom_blocks(cfg: BackendConfig, win: Window, ks=None):
     return _between_blocks(
         cfg, win, win.ext_R, win.ext_t, win.ext_valid,
-        cfg.ext_odom_rot_sigma, cfg.ext_odom_pos_sigma,
+        cfg.ext_odom_rot_sigma, cfg.ext_odom_pos_sigma, ks=ks,
     )
 
 
-def _between_stereo_blocks(cfg: BackendConfig, win: Window):
+def _between_stereo_blocks(cfg: BackendConfig, win: Window, ks=None):
     return _between_blocks(
         cfg, win, win.btw_R, win.btw_t, win.btw_valid,
-        cfg.between_rot_sigma, cfg.between_pos_sigma,
+        cfg.between_rot_sigma, cfg.between_pos_sigma, ks=ks,
     )
 
 
-def _const_vel_blocks(cfg: BackendConfig, win: Window):
+def _const_vel_blocks(cfg: BackendConfig, win: Window, ks=None):
     """Constant-velocity factor v_k ~ v_{k-1}
     (VioBackend::addConstantVelocityFactor, :1322-1330). Disabled when
     constant_vel_sigma is inf."""
     K = cfg.nr_states
+    if ks is None:
+        ks = jnp.arange(1, K)
     w = jnp.where(jnp.isfinite(cfg.constant_vel_sigma),
                   1.0 / cfg.constant_vel_sigma, 0.0)
-    active = (win.mask[1:] & win.mask[:-1]).astype(win.pos.dtype) * w
+    active = (win.mask[ks] & win.mask[ks - 1]).astype(win.pos.dtype) * w
 
     def one(k):
         r = win.vel[k] - win.vel[k - 1]
@@ -529,7 +542,6 @@ def _const_vel_blocks(cfg: BackendConfig, win: Window):
         Jj = jnp.zeros((3, S_DOF), win.pos.dtype).at[:, _V].set(jnp.eye(3))
         return Ji, Jj, r
 
-    ks = jnp.arange(1, K)
     Ji, Jj, r = jax.vmap(one)(ks)
     return Ji * active[:, None, None], Jj * active[:, None, None], r * active[:, None]
 
@@ -824,15 +836,17 @@ def _marginalize_oldest(cfg: BackendConfig, win: Window) -> Window:
     D = K * S_DOF
     H = jnp.zeros((K, S_DOF, K, S_DOF), win.pos.dtype)
     g = jnp.zeros((K, S_DOF), win.pos.dtype)
+    # Only the pair (0,1) participates — linearize just that pair
+    # (ks=[1]) instead of all K-1 pairs.
+    k0 = jnp.arange(1, 2)
     for blocks in (
-        _imu_factor_blocks(cfg, win),
-        _no_motion_blocks(cfg, win),
-        _ext_odom_blocks(cfg, win),
-        _between_stereo_blocks(cfg, win),
-        _const_vel_blocks(cfg, win),
+        _imu_factor_blocks(cfg, win, ks=k0),
+        _no_motion_blocks(cfg, win, ks=k0),
+        _ext_odom_blocks(cfg, win, ks=k0),
+        _between_stereo_blocks(cfg, win, ks=k0),
+        _const_vel_blocks(cfg, win, ks=k0),
     ):
         Ji, Jj, r = blocks
-        # Only the pair (0,1) participates (k index 0 of the stacks).
         Ji0, Jj0, r0 = Ji[0], Jj[0], r[0]
         H = H.at[0, :, 0, :].add(Ji0.T @ Ji0)
         H = H.at[1, :, 1, :].add(Jj0.T @ Jj0)
