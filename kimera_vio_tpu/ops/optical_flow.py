@@ -189,6 +189,23 @@ def _track_level(
 # ---------------------------------------------------------------------------
 
 
+# Precision of the matmul-form bilinear resample. HIGHEST keeps the f32
+# image values exact through the MXU (3-pass); DEFAULT takes the bf16
+# fast path (~1 gray-level rounding on 8-bit imagery). Overridable for
+# the accuracy/throughput experiment (profile_tpu.py) via
+# KIMERA_LK_PRECISION={default,high,highest}.
+import os as _os
+
+_PRECISION_MAP = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+RESAMPLE_PRECISION = _PRECISION_MAP[
+    _os.environ.get("KIMERA_LK_PRECISION", "highest").lower()
+]
+
+
 def _extract_patches(img: jax.Array, origin_yx: jax.Array, S: int) -> jax.Array:
     """(N,S,S) integer-aligned patches; origin_yx (N,2) int32 (y,x) in
     PADDED image coords. One vmapped dynamic_slice (the only gather)."""
@@ -228,7 +245,7 @@ def _build_level_template(
     + tiny per-patch shift-convs replaces three full-image passes + three
     extractions (the gather op count is what costs on TPU)."""
     St = win + 2
-    prec = jax.lax.Precision.HIGHEST
+    prec = RESAMPLE_PRECISION
     half = (win - 1) * 0.5
     t_corner = jnp.floor(prev_pts - half)  # (N,2) float (x,y)
     t_origin = t_corner.astype(jnp.int32)
@@ -344,7 +361,7 @@ def _iterate_level_cached(
     (pts, ok, diverged)."""
     H, W = cur_img.shape
     S = win + 2 * slack + 2
-    prec = jax.lax.Precision.HIGHEST
+    prec = RESAMPLE_PRECISION
     half = (win - 1) * 0.5
     pad = S
     cur_p = jnp.pad(cur_img, pad, mode="edge")
