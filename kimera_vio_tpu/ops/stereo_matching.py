@@ -56,8 +56,12 @@ def match_stereo(
     N = uv_rect.shape[0]
     left = left_rect.astype(jnp.float32)
     right = right_rect.astype(jnp.float32)
-    tc, tr = templ_cols, templ_rows
-    sr = tr + stripe_extra_rows
+    # Clamp the static geometry to the image (small test/crop images):
+    # the reference's template/stripe sizes assume VGA-class frames.
+    tc = min(templ_cols, W)
+    tr = min(templ_rows, H)
+    max_disparity = min(max_disparity, W - tc)
+    sr = min(tr + stripe_extra_rows, H)
     n_disp = max_disparity + 1
     stripe_cols = tc + max_disparity
 
