@@ -8,12 +8,18 @@ per keyframe:
   2. BoW transform + database query with NSS normalization against the
     previous keyframe's BoW (detectLoop :682-764: alpha threshold,
     min_nss_factor, recent-frames exclusion window),
-  3. island grouping + temporal consistency (LcdThirdPartyWrapper.cpp:70-109),
+  3. island grouping + temporal consistency (LcdThirdPartyWrapper.cpp:70-190:
+     score-summed islands with min_matches_per_island, best-island
+     selection, overlap/gap temporal constraint over consecutive queries),
   4. geometric verification: descriptor matching (Lowe ratio) + mono
-     essential RANSAC; pose recovery by 3-pt Arun on stereo
-     backprojections (+5-pt fallback) (verifyAndRecoverPose :766-...),
-  5. loop factor -> PCM gating + pose-graph Gauss-Newton (pgo.py; the
-     KimeraRPGO role, :1298).
+     essential RANSAC (geometricVerificationCam2d2d :818-850); pose
+     recovery per PoseRecoveryType (recoverPoseBody :851-980):
+     k3d3d (Arun on stereo backprojections), kPnP (query bearings vs
+     match 3D points), k5ptRotOnly (mono rotation, translation row
+     zeroed in the loop-factor noise),
+  5. loop factor -> PCM gating + optional GNC weighting + pose-graph
+     Gauss-Newton (pgo.py; the KimeraRPGO role, :1298 + GNC config
+     :173-182).
 
 The BoW database is a device-resident dense matrix (max_keyframes x
 n_words); queries are one matmul-class op. Host keeps only the tiny island
@@ -22,13 +28,12 @@ bookkeeping.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kimera_vio_tpu.common import geometry as geo
 from kimera_vio_tpu.loopclosure import orb as orb_mod
 from kimera_vio_tpu.loopclosure import pgo as pgo_mod
 from kimera_vio_tpu.loopclosure.vocab import BowVocabulary
@@ -37,21 +42,59 @@ from kimera_vio_tpu.ops import ransac
 
 @dataclass
 class LcdConfig:
+    # Place recognition (LoopClosureDetectorParams.h:40-66)
+    use_nss: bool = True
     alpha: float = 0.1  # BoW score threshold (x nss factor)
     min_nss_factor: float = 0.005
     recent_frames_window: int = 20
     max_db_results: int = 5
+    # Island grouping + temporal constraint (LcdThirdPartyWrapper.cpp)
     min_temporal_matches: int = 3
     max_intraisland_gap: int = 3
+    min_matches_per_island: int = 1
+    max_nrFrames_between_islands: int = 3
+    max_nrFrames_between_queries: int = 2
+    # Geometric verification + pose recovery
     min_correspondences: int = 12
     lowe_ratio: float = 0.7
     ransac_threshold_mono: float = 1e-6
     arun_threshold_m: float = 0.15
+    pnp_threshold_px: float = 3.0
     min_inliers: int = 10
+    pose_recovery_type: int = 0  # 0 k3d3d, 1 kPnP, 2 k5ptRotOnly
+    max_pose_recovery_translation: float = 1e3
+    between_rotation_precision: float = 10000.0
+    refine_pose: bool = False
+    # PGO (KimeraRPGO: PCM + optional GNC)
     pcm_rot_threshold: float = 0.1
     pcm_trans_threshold: float = 0.5
+    gnc_alpha: float = 0.0  # 0 disables GNC (LoopClosureDetector.cpp:173-182)
     max_keyframes: int = 512
     n_features: int = 256
+
+    @classmethod
+    def from_params(cls, p) -> "LcdConfig":
+        """Build from a config.params.LcdParams (YAML tier)."""
+        return cls(
+            use_nss=p.use_nss,
+            alpha=p.alpha,
+            min_nss_factor=p.min_nss_factor,
+            recent_frames_window=p.recent_frames_window,
+            max_db_results=p.max_db_results,
+            min_temporal_matches=p.min_temporal_matches,
+            max_intraisland_gap=p.max_intraisland_gap,
+            min_matches_per_island=p.min_matches_per_island,
+            max_nrFrames_between_islands=p.max_nrFrames_between_islands,
+            max_nrFrames_between_queries=p.max_nrFrames_between_queries,
+            min_correspondences=p.min_correspondences,
+            lowe_ratio=p.lowe_ratio,
+            ransac_threshold_mono=p.ransac_threshold_mono,
+            arun_threshold_m=p.ransac_inlier_threshold_stereo,
+            pose_recovery_type=p.pose_recovery_type,
+            pcm_rot_threshold=p.pgo_rot_threshold,
+            pcm_trans_threshold=p.pgo_trans_threshold,
+            gnc_alpha=p.gnc_alpha,
+        )
 
 
 @dataclass
@@ -61,6 +104,19 @@ class LoopResult:
     R_match_query: np.ndarray
     t_match_query: np.ndarray
     n_inliers: int
+    rot_only: bool = False  # k5ptRotOnly: translation rows carry ~no weight
+
+
+@dataclass
+class _Island:
+    """MatchIsland (LcdThirdPartyWrapper.h): a contiguous-id candidate
+    group with a summed score."""
+
+    start: int
+    end: int
+    score: float
+    best_id: int
+    best_score: float
 
 
 class LoopClosureDetector:
@@ -91,7 +147,10 @@ class LoopClosureDetector:
         self.kf_stamps: list = []
         self.latest_bow = None
         self.loops: list[LoopResult] = []
-        self._islands: list = []  # temporal-consistency state
+        # Temporal-constraint state (LcdThirdPartyWrapper.cpp:70-109).
+        self._temporal_entries = 0
+        self._latest_island: _Island | None = None
+        self._latest_query_id = 0
 
         self._transform = jax.jit(self.vocab.transform)
         self._score = jax.jit(BowVocabulary.score)
@@ -129,30 +188,38 @@ class LoopClosureDetector:
         kf_id = self.n_kf
 
         result = None
-        if kf_id > cfg.recent_frames_window:
+        max_match = kf_id - cfg.recent_frames_window
+        if max_match > 0:
             scores = np.asarray(
-                self._score(bow, jnp.asarray(self.db[: self.n_kf]))
+                self._score(bow, jnp.asarray(self.db[:max_match]))
             )
             # NSS normalization (detectLoop :708-719).
             nss = 1.0
-            if self.latest_bow is not None:
+            if cfg.use_nss and self.latest_bow is not None:
                 nss = float(
-                    np.asarray(
-                        self._score(bow, self.latest_bow[None])
-                    )[0]
+                    np.asarray(self._score(bow, self.latest_bow[None]))[0]
                 )
-            if nss >= cfg.min_nss_factor:
-                scores_norm = scores / max(nss, 1e-9)
-                # Exclude the recent window.
-                scores_norm[max(0, kf_id - cfg.recent_frames_window):] = -1.0
-                cand = np.argsort(scores_norm)[::-1][: cfg.max_db_results]
-                cand = [c for c in cand if scores_norm[c] > cfg.alpha]
+            if not cfg.use_nss or nss >= cfg.min_nss_factor:
+                # Candidates above alpha * nss (detectLoop :721-730),
+                # strongest first, capped at max_db_results.
+                order = np.argsort(scores)[::-1][: cfg.max_db_results]
+                cand = [
+                    (int(c), float(scores[c]))
+                    for c in order
+                    if scores[c] > cfg.alpha * max(nss, 1e-9)
+                ]
                 if cand:
-                    match_id = self._temporal_check(kf_id, cand)
-                    if match_id is not None:
-                        result = self._verify(kf_id, match_id, desc, ok, uv, versors, pts3d)
-                        if result is not None:
-                            self.loops.append(result)
+                    match_id = cand[0][0]  # top scorer (detectLoop :738)
+                    islands = self._compute_islands(cand)
+                    if islands:
+                        best = max(islands, key=lambda i: i.score)
+                        if self._check_temporal(kf_id, best):
+                            result = self._verify(
+                                kf_id, match_id, desc, ok, uv, versors,
+                                pts3d,
+                            )
+                            if result is not None:
+                                self.loops.append(result)
 
         if kf_id >= len(self.db):
             # Grow the (tiny) BoW matrix geometrically; the heavy payloads
@@ -176,37 +243,65 @@ class LoopClosureDetector:
         return result
 
     # ------------------------------------------------------------------
-    def _temporal_check(self, kf_id, candidates) -> int | None:
-        """Island grouping + temporal consistency (LcdThirdPartyWrapper):
-        group candidate ids into islands (gap <= max_intraisland_gap), track
-        whether consecutive queries hit nearby islands."""
+    def _compute_islands(self, cand: list[tuple[int, float]]) -> list[_Island]:
+        """Group candidates into contiguous-id islands
+        (LcdThirdPartyWrapper::computeIslands, :109-185): gap <
+        max_intraisland_gap, id-span >= min_matches_per_island; island
+        score = sum of member scores."""
         cfg = self.cfg
-        cands = sorted(candidates)
-        islands = []
-        cur = [cands[0]]
-        for c in cands[1:]:
-            if c - cur[-1] <= cfg.max_intraisland_gap:
-                cur.append(c)
+        by_id = sorted(cand)
+        islands: list[_Island] = []
+        first = last = by_id[0][0]
+        ssum = best_score = by_id[0][1]
+        best_id = by_id[0][0]
+        for cid, sc in by_id[1:]:
+            if cid - last < cfg.max_intraisland_gap:
+                last = cid
+                ssum += sc
+                if sc > best_score:
+                    best_score, best_id = sc, cid
             else:
-                islands.append(cur)
-                cur = [c]
-        islands.append(cur)
-        best_island = max(islands, key=len)
-        rep = best_island[len(best_island) // 2]
-        # Temporal consistency: previous queries must have hit islands
-        # within the gap.
-        self._islands.append((kf_id, rep))
-        recent = [r for q, r in self._islands if kf_id - q <= cfg.min_temporal_matches]
-        consistent = sum(
-            1 for r in recent if abs(r - rep) <= 2 * cfg.max_intraisland_gap
-        )
-        if consistent >= cfg.min_temporal_matches:
-            return rep
-        return None
+                if last - first + 1 >= cfg.min_matches_per_island:
+                    islands.append(
+                        _Island(first, last, ssum, best_id, best_score)
+                    )
+                first = last = cid
+                ssum = best_score = sc
+                best_id = cid
+        if last - first + 1 >= cfg.min_matches_per_island:
+            islands.append(_Island(first, last, ssum, best_id, best_score))
+        return islands
+
+    def _check_temporal(self, kf_id: int, island: _Island) -> bool:
+        """checkTemporalConstraint (LcdThirdPartyWrapper.cpp:70-107):
+        consecutive queries (within max_nrFrames_between_queries) must hit
+        overlapping or nearby islands min_temporal_matches+ times."""
+        cfg = self.cfg
+        if (
+            self._temporal_entries == 0
+            or kf_id - self._latest_query_id > cfg.max_nrFrames_between_queries
+        ):
+            self._temporal_entries = 1
+        else:
+            a1, a2 = self._latest_island.start, self._latest_island.end
+            b1, b2 = island.start, island.end
+            overlap = (b1 <= a1 <= b2) or (a1 <= b1 <= a2)
+            gap_small = False
+            if not overlap:
+                gap = max(a1 - b2, b1 - a2)
+                gap_small = gap <= cfg.max_nrFrames_between_islands
+            self._temporal_entries = (
+                self._temporal_entries + 1 if (overlap or gap_small) else 1
+            )
+        self._latest_island = island
+        self._latest_query_id = kf_id
+        return self._temporal_entries > cfg.min_temporal_matches
 
     # ------------------------------------------------------------------
     def _verify(self, kf_id, match_id, desc_q, ok_q, uv_q, versors_q, pts_q):
-        """Descriptor matching + geometric verification + 3D-3D recovery."""
+        """Descriptor matching + 2d2d geometric verification + pose
+        recovery per PoseRecoveryType (verifyAndRecoverPose :766-806 +
+        recoverPoseBody :851-980)."""
         cfg = self.cfg
         payload = self.cache.get(match_id)
         if payload is None:
@@ -214,20 +309,59 @@ class LoopClosureDetector:
         desc_m = jnp.asarray(payload["desc"])
         ok_m = payload["ok"]
         pts_m = payload["pts3d"]
+        versors_m = payload["versors"]
         idx, mok = self._match(desc_q, ok_q, desc_m, jnp.asarray(ok_m))
         idx = np.asarray(idx)
         mok = np.asarray(mok)
         if mok.sum() < cfg.min_correspondences:
             return None
-        # 3D-3D Arun RANSAC on stereo backprojections (PoseRecoveryType 3d3d).
-        p_q = jnp.asarray(pts_q)
-        p_m = jnp.asarray(np.asarray(pts_m)[idx])
         pair_ok = jnp.asarray(mok)
         key = jax.random.PRNGKey(match_id * 100003 + kf_id)
-        R, t, inl, n_inl = ransac.ransac_3pt_arun(
-            p_m, p_q, pair_ok, key, threshold=cfg.arun_threshold_m
+        # 2d2d essential-matrix verification on bearing versors
+        # (geometricVerificationCam2d2d -> 5-pt Nister RANSAC role).
+        v_q = jnp.asarray(versors_q)
+        v_m = jnp.asarray(np.asarray(versors_m)[idx])
+        R2, t2, inl2, n2 = ransac.ransac_5pt_mono(
+            v_m, v_q, pair_ok, key, threshold=cfg.ransac_threshold_mono
         )
-        n_inl = int(n_inl)
+        if int(n2) < cfg.min_inliers:
+            return None
+
+        rot_only = False
+        if cfg.pose_recovery_type == 2:  # k5ptRotOnly
+            # Pass the 2d2d pose through; translation rows get ~zero
+            # weight in the loop factor (recoverPoseBody :943-949 +
+            # the rotation-only noise model :295-317).
+            R, t, n_inl = np.asarray(R2), np.asarray(t2), int(n2)
+            rot_only = True
+        elif cfg.pose_recovery_type == 1:  # kPnP
+            # Query bearings vs match-frame 3D points (in the match
+            # camera frame): recovers camMatch_T_camQuery directly
+            # (recoverPoseBody :907-941).
+            p_m = jnp.asarray(np.asarray(pts_m)[idx])
+            focal = (
+                float(np.asarray(self.stereo.fx))
+                if self.stereo is not None
+                else 450.0
+            )
+            R_cw, t_cw, inl, n_inl = ransac.ransac_pnp(
+                p_m, v_q, pair_ok, key,
+                threshold=cfg.pnp_threshold_px, focal=focal,
+            )
+            # x_q = R_cw x_m + t_cw => T_match_query = inv([R_cw t_cw]).
+            R = np.asarray(R_cw).T
+            t = -R @ np.asarray(t_cw)
+            n_inl = int(n_inl)
+            if np.linalg.norm(t) > cfg.max_pose_recovery_translation:
+                return None
+        else:  # k3d3d (default)
+            # 3D-3D Arun RANSAC on stereo backprojections.
+            p_q = jnp.asarray(pts_q)
+            p_m = jnp.asarray(np.asarray(pts_m)[idx])
+            R3, t3, inl, n_inl = ransac.ransac_3pt_arun(
+                p_m, p_q, pair_ok, key, threshold=cfg.arun_threshold_m
+            )
+            R, t, n_inl = np.asarray(R3), np.asarray(t3), int(n_inl)
         if n_inl < cfg.min_inliers:
             return None
         return LoopResult(
@@ -236,12 +370,18 @@ class LoopClosureDetector:
             R_match_query=np.asarray(R),
             t_match_query=np.asarray(t),
             n_inliers=n_inl,
+            rot_only=rot_only,
         )
 
     # ------------------------------------------------------------------
     def optimize_graph(self):
-        """Run PCM + pose-graph GN over odometry + verified loops; returns
-        (rot (K,3,3), pos (K,3)) optimized world poses."""
+        """Run PCM + optional GNC + pose-graph GN over odometry + verified
+        loops; returns (rot (K,3,3), pos (K,3)) optimized world poses.
+
+        GNC (gnc_alpha > 0): graduated non-convexity on the loop edges —
+        TLS-style weights annealed over a few outer iterations
+        (KimeraRPGO's GncOptimizer role, LoopClosureDetector.cpp:173-182).
+        """
         K = self.n_kf
         rot = jnp.asarray(np.stack([p[0] for p in self.kf_pose]))
         pos = jnp.asarray(np.stack([p[1] for p in self.kf_pose]))
@@ -255,8 +395,10 @@ class LoopClosureDetector:
             Rm.append(Ri.T @ Rj)
             tm.append(Ri.T @ (tj - ti))
         w = [1.0] * len(ei)
+        n_odom = len(ei)
         # Loop edges (note LoopResult stores match->query i.e. i->j with
         # i = match_id, j = query_id).
+        kept_loops: list[LoopResult] = []
         if self.loops:
             li = jnp.asarray([l.match_id for l in self.loops], jnp.int32)
             lj = jnp.asarray([l.query_id for l in self.loops], jnp.int32)
@@ -275,12 +417,54 @@ class LoopClosureDetector:
                     ej.append(l.query_id)
                     Rm.append(l.R_match_query)
                     tm.append(l.t_match_query)
-                    w.append(1.0)
-        rot2, pos2, costs = pgo_mod.optimize_pose_graph(
-            rot, pos,
+                    # Rotation-only loops: the factor still needs a finite
+                    # translation weight for the GN system; PGO downweights
+                    # by 1e-3 (the reference zeroes the translation info).
+                    w.append(1e-3 if l.rot_only else 1.0)
+                    kept_loops.append(l)
+
+        edges = (
             jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
             jnp.asarray(np.stack(Rm), jnp.float32),
             jnp.asarray(np.stack(tm), jnp.float32),
-            jnp.asarray(w, jnp.float32),
         )
+        w = np.asarray(w, np.float32)
+
+        if self.cfg.gnc_alpha > 0.0 and kept_loops:
+            rot2, pos2 = self._gnc_optimize(rot, pos, edges, w, n_odom)
+        else:
+            rot2, pos2, costs = pgo_mod.optimize_pose_graph(
+                rot, pos, *edges, jnp.asarray(w)
+            )
         return np.asarray(rot2), np.asarray(pos2)
+
+    def _gnc_optimize(self, rot, pos, edges, w, n_odom):
+        """Graduated non-convexity on loop-edge weights (GM-style
+        surrogate): alternate solve <-> weight update while annealing mu
+        downward, so the surrogate sharpens from near-least-squares to
+        near-truncated. The inlier scale barc2 is a fraction of the PCM
+        translation gate — a loop that passed PCM's coarse consistency
+        but sits far outside the inlier noise level anneals to ~zero
+        weight. Odometry edges stay at weight 1 (KimeraRPGO GncOptimizer
+        with FixedOdometry semantics)."""
+        ei, ej, Rm, tm = edges
+        solve = jax.jit(pgo_mod.optimize_pose_graph)
+        chi2 = jax.jit(pgo_mod.edge_chi2)
+        barc2 = jnp.float32((0.2 * self.cfg.pcm_trans_threshold) ** 2)
+        w0 = jnp.asarray(w)
+        w_cur = w0
+        rot2, pos2 = rot, pos
+        # The tail of mu=1 rounds is a fixed-point cascade: as an outlier
+        # edge loses weight the graph springs back to odometry, its
+        # residual grows, and its weight drops further — converging to
+        # rejection (same mechanism as KimeraRPGO's GNC inner loop).
+        for mu in (16.0, 8.0, 4.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0):
+            rot2, pos2, _ = solve(rot, pos, ei, ej, Rm, tm, w_cur)
+            # Residual per edge at the current solution.
+            r2 = chi2(rot2, pos2, ei, ej, Rm, tm)
+            w_gnc = (mu * barc2 / (r2 + mu * barc2)) ** 2
+            w_cur = w0.at[n_odom:].set(w0[n_odom:] * w_gnc[n_odom:])
+        # Final solve at the annealed weights.
+        rot2, pos2, _ = solve(rot, pos, ei, ej, Rm, tm, w_cur)
+        self.gnc_weights = np.asarray(w_cur[n_odom:])
+        return rot2, pos2

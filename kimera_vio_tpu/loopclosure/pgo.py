@@ -98,6 +98,18 @@ def optimize_pose_graph(
     return rot, pos, costs
 
 
+def edge_chi2(rot, pos, edges_i, edges_j, R_meas, t_meas):
+    """Unweighted squared residual norm per edge at the given poses —
+    the chi2 driving the GNC TLS weight update (KimeraRPGO GncOptimizer
+    inner loop)."""
+    r = jax.vmap(
+        lambda i, j, Rm, tm: se3_edge_residual(
+            rot[i], pos[i], rot[j], pos[j], Rm, tm
+        )
+    )(edges_i, edges_j, R_meas, t_meas)
+    return jnp.sum(r * r, axis=-1)
+
+
 def pcm_consistency(
     odo_rot: jax.Array,  # (K,3,3) odometry chain poses (world)
     odo_pos: jax.Array,  # (K,3)

@@ -28,6 +28,11 @@ from kimera_vio_tpu.ops.stereo_matching import match_stereo
 
 
 class LcdModule:
+    #: packaged pretrained codebook (scripts/build_vocab.py output) — the
+    #: reference ships ORBvoc.yml the same way (LoopClosureDetector.cpp
+    #: loadOrbVocabulary).
+    DEFAULT_VOCAB = "bow_vocab_256.npz"
+
     def __init__(
         self,
         stereo,
@@ -36,12 +41,28 @@ class LcdModule:
         vocab_train_kfs: int = 20,
         n_words: int = 256,
         cache_dir: str | None = None,
-        vocab_path: str | None = None,
+        vocab_path: str | None = "default",
+        lcd_params=None,
     ):
         import os
 
         self.stereo = stereo
+        if cfg is None and lcd_params is not None:
+            cfg = LcdConfig.from_params(lcd_params)
         self.cfg = cfg or LcdConfig(n_features=n_features)
+        if vocab_path == "default":
+            # Production default: the packaged sequence-independent
+            # codebook, so place recognition is live from keyframe 0.
+            vocab_path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "data", self.DEFAULT_VOCAB,
+            )
+        if cache_dir is None:
+            # Disk spill keeps verification working beyond the LRU RAM
+            # bound on long missions (FrameCache.cpp:40-108).
+            import tempfile
+
+            cache_dir = tempfile.mkdtemp(prefix="kimera_lcd_cache_")
         self.n_features = n_features
         self.vocab_train_kfs = vocab_train_kfs
         self.n_words = n_words

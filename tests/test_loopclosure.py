@@ -193,11 +193,14 @@ def test_lcd_detects_revisit():
     found = []
     for k, img in enumerate(seq):
         uv, ok, d, km = feats[k]
-        # Fake 3D points: backproject at constant depth 5.
-        versors = np.zeros((96, 3), np.float32)
+        # Fake 3D points: backproject at constant depth 5; versors are the
+        # unit bearings (needed by the 2d2d geometric-verification gate).
         pts = np.concatenate(
             [np.asarray(uv) / 100.0, np.full((96, 1), 5.0, np.float32)], -1
         )
+        versors = (
+            pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+        ).astype(np.float32)
         res = lcd.add_keyframe(
             imgs[k % len(imgs)] if k < len(imgs) else seq[k],
             np.asarray(uv), np.asarray(km), versors, pts,
@@ -280,3 +283,62 @@ def test_pretrained_vocab_roundtrip_and_immediate_lcd(tmp_path):
     stereo = mono_rig(CameraParams(), 0.11)
     mod = LcdModule(stereo, vocab_path=shipped)
     assert mod.lcd is not None  # active immediately, no training phase
+
+
+def test_gnc_downweights_subtle_outlier_loop():
+    """GNC (gnc_alpha > 0): a subtly-wrong loop that slips past PCM's
+    coarse thresholds gets annealed to ~zero weight by the TLS loop
+    (KimeraRPGO GncOptimizer role, LoopClosureDetector.cpp:173-182)."""
+    from kimera_vio_tpu.loopclosure.lcd import (
+        LcdConfig,
+        LoopClosureDetector,
+        LoopResult,
+    )
+    from kimera_vio_tpu.loopclosure.vocab import BowVocabulary
+
+    K = 24
+    angles = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    gt_rot = np.stack(
+        [
+            np.asarray(geo.so3_exp(jnp.array([0, 0, a], jnp.float32)))
+            for a in angles
+        ]
+    )
+    gt_pos = np.stack(
+        [2.0 * np.cos(angles), 2.0 * np.sin(angles), np.zeros(K)], -1
+    ).astype(np.float32)
+
+    cfg = LcdConfig(
+        # PCM loose enough that the subtle outlier passes.
+        pcm_rot_threshold=0.5, pcm_trans_threshold=1.0, gnc_alpha=0.7,
+    )
+    lcd = LoopClosureDetector(BowVocabulary(np.zeros((8, 256), np.float32)), cfg)
+    for k in range(K):
+        lcd.kf_pose.append((gt_rot[k], gt_pos[k]))
+        lcd.kf_stamps.append(k)
+    lcd.n_kf = K
+
+    def rel(i, j, terr=np.zeros(3)):
+        R = gt_rot[i].T @ gt_rot[j]
+        t = gt_rot[i].T @ (gt_pos[j] - gt_pos[i]) + terr
+        return R.astype(np.float32), t.astype(np.float32)
+
+    # Two exact loops + one subtly wrong one (0.6 m translation error:
+    # inside the loosened PCM gate, far outside the inlier noise level).
+    for (i, j, terr) in [
+        (0, 12, np.zeros(3)),
+        (1, 13, np.zeros(3)),
+        (2, 14, np.array([0.6, 0.0, 0.0])),
+    ]:
+        R, t = rel(i, j, terr)
+        lcd.loops.append(
+            LoopResult(query_id=j, match_id=i, R_match_query=R,
+                       t_match_query=t, n_inliers=30)
+        )
+    rot2, pos2 = lcd.optimize_graph()
+    w = lcd.gnc_weights  # TLS weights of kept loop edges, in kept order
+    assert len(w) == 3
+    assert w[0] > 0.5 and w[1] > 0.5, w
+    assert w[2] < 0.2 * min(w[0], w[1]), w
+    # The solution stays near GT (the bad loop no longer drags it).
+    assert np.linalg.norm(pos2 - gt_pos, axis=-1).max() < 0.2
