@@ -95,7 +95,6 @@ class FrontendConfig:
     use_2point_mono: bool = struct.field(pytree_node=False, default=True)
     use_1point_stereo: bool = struct.field(pytree_node=False, default=True)
     do_subpixel: bool = struct.field(pytree_node=False, default=True)
-    equalize: bool = struct.field(pytree_node=False, default=False)
     # static floats consumed inside Pallas kernels
     klt_eps: float = struct.field(pytree_node=False, default=0.1)
     # traced scalars
@@ -133,8 +132,11 @@ class FrontendConfig:
             detector_type=fp.feature_detector_type,
             use_2point_mono=fp.ransac_use_2point_mono,
             use_1point_stereo=fp.ransac_use_1point_stereo,
+            # NOTE equalize_image is consumed by the DATA PROVIDER
+            # (EurocDataProvider(equalize=...), plumbed in __main__.py) —
+            # the reference equalizes at provider level too
+            # (EurocDataProvider.cpp mono histogram equalization).
             do_subpixel=fp.enable_subpixel_corner_finder,
-            equalize=fp.equalize_image,
             klt_eps=float(fp.klt_eps),
             max_feature_age=i(fp.max_feature_age),
             quality_level=f(fp.quality_level),
@@ -588,6 +590,8 @@ class StereoFrontend:
                 "n_stereo_inliers": jnp.int32(0),
                 "t_stereo_vote": jnp.zeros(3, cur_feats.uv.dtype),
                 "R_stereo": jnp.eye(3, dtype=cur_feats.uv.dtype),
+                "t_mono": jnp.zeros(3, cur_feats.uv.dtype),
+                "R_mono": jnp.eye(3, dtype=cur_feats.uv.dtype),
             }
             return nk_state, dummy_meas, dummy_extras
 
@@ -637,12 +641,13 @@ class StereoFrontend:
         pair_mask = cur_feats.mask & state.lkf_features.mask
         key = jax.random.fold_in(jax.random.PRNGKey(0), state.frame_count)
         if cfg.use_2point_mono:
-            _, mono_inl, n_mono = ransac.ransac_2pt_mono(
+            t_mono, mono_inl, n_mono = ransac.ransac_2pt_mono(
                 f_ref, f_cur, pair_mask, R_cam, key,
                 n_hyp=cfg.n_hyp_mono, threshold=cfg.ransac_threshold_mono,
             )
+            R_mono = R_cam  # rotation given (gyro), 2-pt estimates t only
         else:
-            _, _, mono_inl, n_mono = ransac.ransac_5pt_mono(
+            R_mono, t_mono, mono_inl, n_mono = ransac.ransac_5pt_mono(
                 f_ref, f_cur, pair_mask, key,
                 n_hyp=cfg.n_hyp_mono, threshold=cfg.ransac_threshold_mono,
             )
@@ -693,6 +698,8 @@ class StereoFrontend:
                 "n_stereo_inliers": jnp.int32(0),
                 "t_stereo_vote": jnp.zeros(3, cur_feats.uv.dtype),
                 "R_stereo": jnp.eye(3, dtype=cur_feats.uv.dtype),
+                "t_mono": t_mono,
+                "R_mono": R_mono,
             }
             return kf_state, meas_out, extras
 
@@ -792,6 +799,8 @@ class StereoFrontend:
             "n_stereo_inliers": n_stereo,
             "t_stereo_vote": t_vote,
             "R_stereo": R_stereo,
+            "t_mono": t_mono,
+            "R_mono": R_mono,
         }
         return kf_state, meas_out, extras
 

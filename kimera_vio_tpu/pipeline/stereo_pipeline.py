@@ -90,9 +90,7 @@ class StereoImuPipeline:
         # backend_type: 1 selects RegularVIO (the EuRoC default,
         # PipelineParams.yaml): the mesher's plane hypotheses feed
         # regularity factors; needs the mesher running.
-        self.use_regular_vio = (
-            getattr(params.backend, "backend_type", 0) == 1
-        )
+        self.use_regular_vio = params.pipeline.backend_type == 1
         if self.use_regular_vio and not enable_mesher:
             # Without plane hypotheses RegularVIO degenerates to the plain
             # backend — exactly the reference's shipped default (mesher
@@ -135,19 +133,150 @@ class StereoImuPipeline:
         self.logger = BackendLogger(output_path) if output_path else None
         self.frontend_logger = FrontendLogger(output_path) if output_path else None
         self.stats = StatsCollector()
+        # Module-failure propagation state (reference is_backend_ok_).
+        self.backend_healthy = True
+        self._consecutive_recoveries = 0
 
     # Overridable construction hooks (MonoImuPipeline swaps these).
     def _build_rig(self, params):
         return StereoCamera.from_params(params.left_cam, params.right_cam)
 
+    def _build_lcd(self):
+        """Production-shaped LCD: pretrained packaged vocabulary + disk
+        frame cache (under output_path when logging), LcdParams from the
+        YAML tier (reference LcdModule + LoopClosureDetectorParams)."""
+        import os
+
+        from kimera_vio_tpu.pipeline.lcd_module import LcdModule
+
+        cache_dir = (
+            os.path.join(self.output_path, "lcd_cache")
+            if self.output_path
+            else None
+        )
+        return LcdModule(
+            self.stereo,
+            lcd_params=getattr(self.params, "lcd", None),
+            cache_dir=cache_dir,
+        )
+
+    def _note_backend_health(self, n_recovered: int):
+        """Module-failure propagation (reference Pipeline.cpp:253-269 /
+        is_backend_ok_): count consecutive keyframe solves that needed the
+        failure-recovery path; past the flag threshold, mark the backend
+        unhealthy so the run loop stops gracefully instead of silently
+        publishing a sick estimate forever."""
+        from kimera_vio_tpu.config import flags as _flags
+
+        if n_recovered > 0:
+            self._consecutive_recoveries += 1
+            self.stats.add("backend_recoveries [#]", float(n_recovered))
+        else:
+            self._consecutive_recoveries = 0
+        limit = _flags.get_flag("max_consecutive_backend_failures")
+        if limit > 0 and self._consecutive_recoveries >= limit:
+            if self.backend_healthy:
+                import logging
+
+                logging.getLogger(__name__).error(
+                    "Backend needed solver recovery on %d consecutive "
+                    "keyframes - stopping pipeline (reference "
+                    "is_backend_ok_ analog)",
+                    self._consecutive_recoveries,
+                )
+            self.backend_healthy = False
+
+    def _setup_aux_modules(self):
+        """Instantiate the keyframe-paced aux modules (reference
+        Mesher/LcdModule); shared by run() and run_chunked."""
+        mesher = lcd_module = None
+        self._mesher_logger = None
+        if self.enable_mesher:
+            from kimera_vio_tpu.mesher.mesher import Mesher
+
+            mesher = Mesher()
+            if self.output_path:
+                from kimera_vio_tpu.utils.logger import MesherLogger
+
+                self._mesher_logger = MesherLogger(self.output_path)
+        if self.enable_lcd:
+            lcd_module = self._build_lcd()
+        return mesher, lcd_module
+
+    def _feed_aux_kf(
+        self, stamp_ns, fo, left, right, win, lmk,
+        mesher, lcd_module, visualizer=None, display=None,
+    ):
+        """One keyframe through the aux modules (mesher -> RegularVIO
+        plane feedback -> LCD -> visualizer). Returns the (possibly
+        plane-refined) window. `fo` must carry the full keyframe output
+        fields (kp_uv/kp_ids/lmk_*)."""
+        if not bool(fo["is_keyframe"]):
+            return win
+        pose_R = np.asarray(fo["rot"])
+        pose_t = np.asarray(fo["pos"])
+        mesh = None
+        if mesher is not None:
+            ids_alive = set(
+                int(i) for i in np.asarray(fo["lmk_ids"]) if i >= 0
+            )
+            mesh = mesher.spin_once(
+                np.asarray(fo["kp_uv"]),
+                np.asarray(fo["kp_ids"]),
+                np.asarray(fo["lmk_ids"]),
+                np.asarray(fo["lmk_points"]),
+                np.asarray(fo["lmk_valid"]),
+                horizon_ids=ids_alive,
+            )
+            if self.frontend_cfg.rgbd and mesh is not None:
+                # Depth-based mesh refinement (MeshOptimization.cpp):
+                # `right` is the metric depth image in RGB-D mode.
+                mesh = self._refine_mesh(mesh, right, pose_R, pose_t)
+            if self.use_regular_vio and mesh is not None:
+                # RegularVIO plane feedback (backend_type: 1, the EuRoC
+                # default): mesher plane hypotheses + landmark-plane
+                # association feed the regularity-constrained joint
+                # solve, refining the live window (reference
+                # RegularVioBackend.cpp:635-803 + Mesher association
+                # :1316; the plane queue is keyframe-lagged there too).
+                win = self._regular_refine(win, lmk, mesh, fo)
+        if lcd_module is not None:
+            from kimera_vio_tpu.frontend.camera import remap_bilinear
+
+            lrect = remap_bilinear(left, self.frontend.map_left)
+            rrect = remap_bilinear(right, self.frontend.map_right)
+            lcd_module.add_keyframe(lrect, rrect, pose_R, pose_t, stamp_ns)
+        if mesh is not None and self.output_path and self._mesher_logger:
+            verts = mesh.vertices.reshape(-1, 3)
+            tri_idx = np.arange(len(verts)).reshape(-1, 3)
+            self._mesher_logger.log(verts, tri_idx)
+        if visualizer is not None:
+            w = visualizer.spin_once(
+                pose_R, pose_t,
+                np.asarray(fo["lmk_points"]),
+                np.asarray(fo["lmk_valid"]),
+                np.asarray(fo["lmk_ids"]),
+                mesh=mesh,
+            )
+            display.spin_once(w)
+        return win
+
     def _regular_refine(self, win, lmk, mesh, fo):
-        """One RegularVIO joint solve over window + plane states from the
-        current mesh's horizontal-plane hypotheses."""
+        """One RegularVIO joint solve over window + PERSISTENT plane
+        states: freshly segmented planes are associated to tracked planes
+        (Mesher::associatePlanes, Mesher.cpp:1316-1420) so the same plane
+        identity persists across keyframes and regularities accumulate;
+        co-tracked near-parallel planes additionally get
+        ParallelPlaneRegularFactor rows."""
         from kimera_vio_tpu.backend import regular_vio as rv
         from kimera_vio_tpu.mesher import mesher as mm
+        from kimera_vio_tpu.mesher.plane_tracker import PlaneTracker
 
         if mesh.n_triangles == 0:
             return win
+        if not hasattr(self, "_plane_tracker"):
+            self._plane_tracker = PlaneTracker()
+        tracker = self._plane_tracker
         verts = jnp.asarray(mesh.vertices, jnp.float32)
         normals = mm.triangle_normals(verts)
         g_axis = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
@@ -167,18 +296,31 @@ class StereoImuPipeline:
             wall_assign + n_h,
             tri_assign,
         )
-        if not bool(np.asarray(pv).any()):
+        pv_np = np.asarray(pv)
+        if not pv_np.any():
             return win
-        planes = rv.PlaneStates(normal=pn, d=pd, mask=pv)
-        # Landmark id -> plane index via triangle membership (host, tiny).
+        # --- associate segmented planes to persistent slots -------------
+        seg_idx = np.flatnonzero(pv_np)  # valid segmented planes
+        slot_of_seg_valid, _seen = tracker.associate(
+            np.asarray(pn)[seg_idx], np.asarray(pd)[seg_idx]
+        )
+        # segmented-plane index (incl. invalid) -> persistent slot
+        seg_to_slot = np.full(len(pv_np), -1, np.int32)
+        seg_to_slot[seg_idx] = slot_of_seg_valid
+        planes = rv.PlaneStates(
+            normal=jnp.asarray(tracker.normals),
+            d=jnp.asarray(tracker.ds),
+            mask=jnp.asarray(tracker.active),
+        )
+        # Landmark id -> persistent slot via triangle membership.
         assign_np = np.asarray(tri_assign)
         id_to_plane: dict[int, int] = {}
         for t_i, ids3 in enumerate(np.asarray(mesh.lmk_ids)):
             p = int(assign_np[t_i])
-            if p < 0:
+            if p < 0 or seg_to_slot[p] < 0:
                 continue
             for lid in ids3:
-                id_to_plane.setdefault(int(lid), p)
+                id_to_plane.setdefault(int(lid), int(seg_to_slot[p]))
         lmk_ids_np = np.asarray(lmk.ids)
         plane_assoc = np.full(len(lmk_ids_np), -1, np.int32)
         for r, lid in enumerate(lmk_ids_np):
@@ -186,11 +328,25 @@ class StereoImuPipeline:
                 plane_assoc[r] = id_to_plane[int(lid)]
         if (plane_assoc >= 0).sum() < 3:
             return win
+        # Co-tracked parallel planes -> regularity pairs (static Q=4 slot
+        # array so the jitted solve's shape is stable).
+        pairs = tracker.parallel_pairs()
+        Q = 4
+        pairs_arr = np.full((Q, 2), -1, np.int32)
+        for q, (i, j) in enumerate(pairs[:Q]):
+            pairs_arr[q] = (i, j)
+        pair_mask = jnp.asarray(pairs_arr[:, 0] >= 0)
         win2, planes2, _ = rv.regular_backend_solve(
             self.backend_cfg, win, lmk, planes,
             jnp.asarray(plane_assoc),
             jnp.float32(0.1),
             gn_iters=1,
+            parallel_pairs=jnp.asarray(pairs_arr),
+            parallel_pair_mask=pair_mask,
+        )
+        # Re-anchor the persistent states with the refined solution.
+        tracker.update_from_solver(
+            np.asarray(planes2.normal), np.asarray(planes2.d)
         )
         return win2
 
@@ -334,6 +490,28 @@ class StereoImuPipeline:
                     guess_kwargs = dict(
                         guess_R=R_wb, guess_t=p_wb, guess_valid=pnp_ok
                     )
+            if src == 1:
+                # MONO guess (VioBackend.cpp:817-835): previous smoothed
+                # pose composed with the mono-RANSAC relative (rotation
+                # from gyro/5-pt, translation a unit direction), then the
+                # WORLD translation scaled by mono_translation_scale_factor
+                # — reproducing the reference's literal formula.
+                C_R = self.frontend.stereo.R_b_rect
+                C_t = self.frontend.stereo.t_b_rect
+                R_mb = C_R @ fe_out["R_mono"] @ C_R.T
+                t_mb = C_R @ fe_out["t_mono"] + C_t - R_mb @ C_t
+                gR = win.rot[prev_slot] @ R_mb
+                gt_ = (
+                    win.pos[prev_slot] + win.rot[prev_slot] @ t_mb
+                ) * jnp.float32(
+                    self.params.backend.mono_translation_scale_factor
+                )
+                mono_ok = fe_out["n_mono_inliers"] >= jnp.int32(
+                    self.params.frontend.min_nr_mono_inliers
+                )
+                guess_kwargs = dict(
+                    guess_R=gR, guess_t=gt_, guess_valid=mono_ok
+                )
             if src == 2 and stereo_rel is not None:
                 # STEREO guess: previous smoothed pose composed with the
                 # stereo-RANSAC relative (VioBackend.cpp:843-862).
@@ -457,9 +635,9 @@ class StereoImuPipeline:
                 fe_state, win, lmk, pair[0], pair[1], blk, a[B * 8]
             )
             if minimal:
-                # ONE packed (26,) f32 row per frame: device->host transfers
+                # ONE packed (27,) f32 row per frame: device->host transfers
                 # on this platform pay ~30-80 ms latency EACH, so the whole
-                # chunk's outputs ride back in a single (C,26) array.
+                # chunk's outputs ride back in a single (C,27) array.
                 fo = jnp.concatenate(
                     [
                         fo["is_keyframe"].astype(jnp.float32)[None],
@@ -471,6 +649,7 @@ class StereoImuPipeline:
                         fo["pos"],
                         fo["vel"],
                         fo["bias"],
+                        fo["n_recovered"].astype(jnp.float32)[None],
                     ]
                 )
             return (fe_state, win, lmk), fo
@@ -493,12 +672,43 @@ class StereoImuPipeline:
 
         Equivalent trajectory to `run()` (same fused per-frame program,
         scanned); differs only in host choreography. `collect_aux=True`
-        additionally returns per-frame landmark/keypoint fields for the
-        keyframe-paced aux modules (bigger readback)."""
+        additionally returns per-frame landmark/keypoint fields and drives
+        the keyframe-paced aux modules (mesher / LCD / RegularVIO plane
+        feedback), matching `run()`'s aux path with chunk-lagged feedback.
+
+        NOT supported in chunked mode (host-phase features that interleave
+        with the per-frame loop): fine time alignment, online
+        initialization (autoInitialize: 2), and external odometry — these
+        raise to avoid a silent divergence from `run()`."""
         import threading
         import queue as _q
 
+        if self._do_time_align:
+            raise NotImplementedError(
+                "run_chunked does not support fine IMU-camera time "
+                "alignment; use run()"
+            )
+        if self.params.backend.auto_initialize == 2:
+            raise NotImplementedError(
+                "run_chunked does not support online initialization "
+                "(autoInitialize: 2); use run()"
+            )
+        if getattr(provider, "odometry", None) is not None:
+            raise NotImplementedError(
+                "run_chunked does not support external odometry; use run()"
+            )
+        if (self.enable_mesher or self.enable_lcd) and not collect_aux:
+            import warnings
+
+            warnings.warn(
+                "mesher/LCD enabled but collect_aux=False: aux modules "
+                "will not run in chunked mode", stacklevel=2,
+            )
+
         out = PipelineOutput()
+        self.lcd_result = None
+        self.backend_healthy = True
+        self._consecutive_recoveries = 0
         K = self.backend_cfg.nr_states
         L = self.backend_cfg.max_landmarks
         win = sm.Window.empty(K)
@@ -628,11 +838,37 @@ class StereoImuPipeline:
         th.start()
 
         minimal = not collect_aux
+        mesher = lcd_module = None
+        if collect_aux:
+            mesher, lcd_module = self._setup_aux_modules()
+        # RegularVIO plane feedback must reach the device carry before the
+        # next chunk dispatch -> synchronous per-chunk aux; mesher/LCD
+        # without feedback can drain on a worker thread.
+        sync_aux = collect_aux and self.use_regular_vio
+
+        def feed_aux_chunk(chunk, host, win, lmk):
+            """Keyframes of one drained chunk through the aux modules
+            (mirrors run()'s feed_aux; chunk-lagged like its aux_lag)."""
+            for i, p in enumerate(chunk):
+                if not bool(host["is_keyframe"][i]):
+                    continue
+                fo_i = {k: v[i] for k, v in host.items()}
+                left = jnp.asarray(provider.load_image(p["left_path"]))
+                right = (
+                    jnp.asarray(provider.load_image(p["right_path"]))
+                    if "right_path" in p
+                    else left
+                )
+                win = self._feed_aux_kf(
+                    p["stamp_ns"], fo_i, left, right, win, lmk,
+                    mesher, lcd_module,
+                )
+            return win
 
         def drain(item):
             chunk, fos = item
             if minimal:
-                host = np.asarray(fos)  # (C,26) — one transfer
+                host = np.asarray(fos)  # (C,27) — one transfer
                 for i, p in enumerate(chunk):
                     out.n_frames += 1
                     row = host[i]
@@ -648,6 +884,7 @@ class StereoImuPipeline:
                             self._np_rot_to_quat(row[5:14].reshape(3, 3)),
                             row[17:20], row[20:26],
                         )
+                        self._note_backend_health(int(row[26]))
                         if self.logger:
                             self.logger.log_timing(p["stamp_ns"], 0.0)
                 return
@@ -668,6 +905,11 @@ class StereoImuPipeline:
                     out.n_keyframes += 1
                     fo_i = {k: v[i] for k, v in host.items()}
                     self._record_out(out, p["stamp_ns"], fo_i)
+                    self._note_backend_health(
+                        int(host["n_recovered"][i])
+                        if "n_recovered" in host
+                        else 0
+                    )
 
         if minimal:
             # Minimal outputs are (C,26) rows: keep them ON DEVICE during
@@ -699,7 +941,35 @@ class StereoImuPipeline:
             self._write_final_logs(out)
             return out
 
-        # Aux-collecting path: per-chunk readbacks on a worker thread.
+        if sync_aux:
+            # RegularVIO feedback: drain + aux inline so the plane-refined
+            # window re-enters the device carry before the next chunk
+            # (same keyframe lag class as run()'s aux_lag, here <= chunk).
+            ci = 0
+            while True:
+                item = staged.get()
+                if item is None:
+                    break
+                (imgs_sb, aux_sb, B), n_real = item
+                n_inner = imgs_sb.shape[0] // C
+                for k in range(n_inner):
+                    imgs = jax.lax.slice_in_dim(imgs_sb, k * C, (k + 1) * C)
+                    aux = jax.lax.slice_in_dim(aux_sb, k * C, (k + 1) * C)
+                    fe_state, win, lmk, fos = self._chunk_step(
+                        fe_state, win, lmk, imgs, aux, B, minimal=False
+                    )
+                    host = jax.tree.map(np.asarray, fos)
+                    drain((chunks[ci], host))
+                    win = feed_aux_chunk(chunks[ci], host, win, lmk)
+                    ci += 1
+                    if verbose and ci % 8 == 0:
+                        print(f"chunk {ci}/{len(chunks)}")
+            self.lcd_result = lcd_module.finish() if lcd_module else None
+            self._write_final_logs(out)
+            return out
+
+        # Aux-collecting path without window feedback: per-chunk readbacks
+        # + mesher/LCD on a worker thread.
         drain_q: _q.Queue = _q.Queue()
 
         def drainer():
@@ -707,7 +977,11 @@ class StereoImuPipeline:
                 item = drain_q.get()
                 if item is None:
                     return
-                drain(item)
+                chunk, fos = item
+                host = jax.tree.map(np.asarray, fos)
+                drain((chunk, host))
+                if collect_aux:
+                    feed_aux_chunk(chunk, host, None, None)
 
         dth = threading.Thread(target=drainer, daemon=True)
         dth.start()
@@ -736,6 +1010,7 @@ class StereoImuPipeline:
                     print(f"chunk {ci}/{len(chunks)}")
         drain_q.put(None)
         dth.join()
+        self.lcd_result = lcd_module.finish() if lcd_module else None
         self._write_final_logs(out)
         return out
 
@@ -794,6 +1069,8 @@ class StereoImuPipeline:
     # ------------------------------------------------------------------
     def run(self, provider: EurocDataProvider, verbose: bool = False) -> PipelineOutput:
         out = PipelineOutput()
+        self.backend_healthy = True
+        self._consecutive_recoveries = 0
         K = self.backend_cfg.nr_states
         L = self.backend_cfg.max_landmarks
         win = sm.Window.empty(K)
@@ -826,6 +1103,8 @@ class StereoImuPipeline:
                 ),
             )
 
+        aligner_imu_since_kf = [0]
+
         def feed_aligner(packet, frame_out, stamp_ns):
             """Returns True when an offset estimate landed (caller resets
             the estimator, like the reference's post-alignment Bootstrap)."""
@@ -833,11 +1112,17 @@ class StereoImuPipeline:
             gyr = np.asarray(blk.gyr)
             dts = np.asarray(blk.dt)
             msk = np.asarray(blk.mask)
-            n_imu = int(msk.sum())
+            # n_imu must span the whole inter-keyframe interval: the visual
+            # rotation is accumulated since the last keyframe, so distribute
+            # it over every IMU sample seen since then (reference
+            # CrossCorrTimeAligner interpolates vision onto IMU rate).
+            aligner_imu_since_kf[0] += int(msk.sum())
             for i in range(len(dts)):
                 if msk[i]:
                     aligner.add_imu(stamp_ns, gyr[i], float(dts[i]))
             if bool(frame_out["is_keyframe"]):
+                n_imu = max(aligner_imu_since_kf[0], 1)
+                aligner_imu_since_kf[0] = 0
                 aligner.add_frame_rotation(
                     stamp_ns, float(frame_out["vis_rot_angle"]), n_imu
                 )
@@ -862,20 +1147,8 @@ class StereoImuPipeline:
             and getattr(provider, "ground_truth", None) is not None
             else None
         )
-        mesher = lcd_module = visualizer = display = None
-        self._mesher_logger = None
-        if self.enable_mesher:
-            from kimera_vio_tpu.mesher.mesher import Mesher
-
-            mesher = Mesher()
-            if self.output_path:
-                from kimera_vio_tpu.utils.logger import MesherLogger
-
-                self._mesher_logger = MesherLogger(self.output_path)
-        if self.enable_lcd:
-            from kimera_vio_tpu.pipeline.lcd_module import LcdModule
-
-            lcd_module = LcdModule(self.stereo)
+        mesher, lcd_module = self._setup_aux_modules()
+        visualizer = display = None
         if self.enable_visualizer:
             from kimera_vio_tpu.visualizer.visualizer import (
                 FileDisplay,
@@ -901,59 +1174,16 @@ class StereoImuPipeline:
             if bool(fo["is_keyframe"]):
                 out.n_keyframes += 1
                 self._record_out(out, stamp_ns, fo)
+                self._note_backend_health(int(fo.get("n_recovered", 0)))
                 if self.logger:
                     self.logger.log_timing(stamp_ns, 0.0)
 
         def feed_aux(stamp_ns, fo, left, right):
-            if not bool(fo["is_keyframe"]):
-                return
-            pose_R = np.asarray(fo["rot"])
-            pose_t = np.asarray(fo["pos"])
-            mesh = None
-            if mesher is not None:
-                ids_alive = set(
-                    int(i) for i in np.asarray(fo["lmk_ids"]) if i >= 0
-                )
-                mesh = mesher.spin_once(
-                    np.asarray(fo["kp_uv"]),
-                    np.asarray(fo["kp_ids"]),
-                    np.asarray(fo["lmk_ids"]),
-                    np.asarray(fo["lmk_points"]),
-                    np.asarray(fo["lmk_valid"]),
-                    horizon_ids=ids_alive,
-                )
-                if self.frontend_cfg.rgbd and mesh is not None:
-                    # Depth-based mesh refinement (MeshOptimization.cpp):
-                    # `right` is the metric depth image in RGB-D mode.
-                    mesh = self._refine_mesh(mesh, right, pose_R, pose_t)
-                if self.use_regular_vio and mesh is not None:
-                    # RegularVIO plane feedback (backend_type: 1, the EuRoC
-                    # default): mesher plane hypotheses + landmark-plane
-                    # association feed the regularity-constrained joint
-                    # solve, refining the live window (reference
-                    # RegularVioBackend.cpp:635-803 + Mesher association
-                    # :1316; the plane queue is keyframe-lagged there too).
-                    nonlocal win, lmk
-                    win = self._regular_refine(win, lmk, mesh, fo)
-            if lcd_module is not None:
-                from kimera_vio_tpu.frontend.camera import remap_bilinear
-
-                lrect = remap_bilinear(left, self.frontend.map_left)
-                rrect = remap_bilinear(right, self.frontend.map_right)
-                lcd_module.add_keyframe(lrect, rrect, pose_R, pose_t, stamp_ns)
-            if mesh is not None and self.output_path and self._mesher_logger:
-                verts = mesh.vertices.reshape(-1, 3)
-                tri_idx = np.arange(len(verts)).reshape(-1, 3)
-                self._mesher_logger.log(verts, tri_idx)
-            if visualizer is not None:
-                w = visualizer.spin_once(
-                    pose_R, pose_t,
-                    np.asarray(fo["lmk_points"]),
-                    np.asarray(fo["lmk_valid"]),
-                    np.asarray(fo["lmk_ids"]),
-                    mesh=mesh,
-                )
-                display.spin_once(w)
+            nonlocal win
+            win = self._feed_aux_kf(
+                stamp_ns, fo, left, right, win, lmk,
+                mesher, lcd_module, visualizer, display,
+            )
 
         def load(packet):
             l = provider.load_image(packet["left_path"])
@@ -1110,6 +1340,10 @@ class StereoImuPipeline:
 
             if verbose and out.n_frames % 50 == 0:
                 print(f"frame {out.n_frames} pos {np.asarray(frame_out['pos'])}")
+            if not self.backend_healthy:
+                # Graceful stop on persistent backend failure
+                # (Pipeline.cpp:253-269).
+                break
 
         # Drain remaining aux work, then record the keyframe trajectory.
         for item in aux_queue:
