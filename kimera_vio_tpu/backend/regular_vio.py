@@ -326,12 +326,17 @@ def regular_backend_solve(
     plane_assoc: jax.Array,
     regularity_sigma: jax.Array,
     gn_iters: int = 2,
+    parallel_pairs: jax.Array | None = None,  # (Q,2) int32
+    parallel_pair_mask: jax.Array | None = None,  # (Q,)
 ):
     """Joint GN over window states + plane states (one solve per iter).
 
     This is the RegularVIO optimize() analog. Window factor blocks (IMU,
     priors, no-motion) come from the base smoother assembly; the smart +
-    regularity blocks replace the plain smart-factor blocks."""
+    regularity blocks replace the plain smart-factor blocks.
+    `parallel_pairs` optionally adds tangent-space
+    ParallelPlaneRegularFactor rows between co-tracked plane slots
+    (the PlaneTracker supplies the pairs)."""
     K = cfg.nr_states
     P = planes.normal.shape[0]
     D = K * sm.S_DOF
@@ -342,6 +347,24 @@ def regular_backend_solve(
         Hp, gp, Hq, gq, Hx, pts, ok = regular_smart_factor_blocks(
             cfg, win, lmk, planes, plane_assoc, regularity_sigma
         )
+        if parallel_pairs is not None and parallel_pairs.shape[0] > 0:
+            rq, J1q, J2q, wq = parallel_plane_blocks(
+                planes, parallel_pairs,
+                (
+                    parallel_pair_mask
+                    if parallel_pair_mask is not None
+                    else jnp.ones(parallel_pairs.shape[0], bool)
+                ),
+            )
+            pi = jnp.clip(parallel_pairs[:, 0], 0, P - 1)
+            pj = jnp.clip(parallel_pairs[:, 1], 0, P - 1)
+            Hq = Hq.at[pi, :, pi, :].add(jnp.einsum("qri,qrj->qij", J1q, J1q))
+            Hq = Hq.at[pj, :, pj, :].add(jnp.einsum("qri,qrj->qij", J2q, J2q))
+            Hij_q = jnp.einsum("qri,qrj->qij", J1q, J2q)
+            Hq = Hq.at[pi, :, pj, :].add(Hij_q)
+            Hq = Hq.at[pj, :, pi, :].add(jnp.swapaxes(Hij_q, -1, -2))
+            gq = gq.at[pi].add(jnp.einsum("qri,qr->qi", J1q, rq))
+            gq = gq.at[pj].add(jnp.einsum("qri,qr->qi", J2q, rq))
         # Base assembly WITHOUT smart factors: IMU + no-motion + prior.
         H = jnp.zeros((K, sm.S_DOF, K, sm.S_DOF), win.pos.dtype)
         g = jnp.zeros((K, sm.S_DOF), win.pos.dtype)

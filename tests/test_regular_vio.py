@@ -169,3 +169,100 @@ class TestParallelPlaneFactor:
         pm = jnp.ones(3, bool)
         r, J1, J2, w = rv.parallel_plane_blocks(p, pairs, pm)
         assert np.asarray(w).tolist() == [1.0, 0.0, 0.0]
+
+
+class TestPlaneTracker:
+    """Plane identity across keyframes (Mesher::associatePlanes analog,
+    mesher/plane_tracker.py)."""
+
+    def test_association_persists_identity(self):
+        from kimera_vio_tpu.mesher.plane_tracker import PlaneTracker
+
+        tr = PlaneTracker(normal_tol_deg=10, dist_tol=0.2)
+        n = np.array([[0.0, 0.0, 1.0]], np.float32)
+        slots0, _ = tr.associate(n, np.array([5.0]))
+        pid0 = tr.slot_pid[slots0[0]]
+        # Same plane, slightly perturbed, over 6 more keyframes.
+        rng = np.random.default_rng(0)
+        for _ in range(6):
+            nn = n + rng.normal(0, 0.01, (1, 3)).astype(np.float32)
+            nn /= np.linalg.norm(nn)
+            slots, _ = tr.associate(nn, np.array([5.0 + rng.normal(0, 0.05)]))
+            assert slots[0] == slots0[0]
+        assert tr.hits[slots0[0]] >= 7
+        assert tr.slot_pid[slots0[0]] == pid0
+
+    def test_antiparallel_is_same_plane(self):
+        from kimera_vio_tpu.mesher.plane_tracker import PlaneTracker
+
+        tr = PlaneTracker()
+        s0, _ = tr.associate(np.array([[0, 0, 1.0]], np.float32), np.array([2.0]))
+        s1, _ = tr.associate(np.array([[0, 0, -1.0]], np.float32), np.array([-2.0]))
+        assert s1[0] == s0[0]
+
+    def test_new_plane_gets_new_slot_and_eviction(self):
+        from kimera_vio_tpu.mesher.plane_tracker import PlaneTracker
+
+        tr = PlaneTracker(max_age_kf=2)
+        s0, _ = tr.associate(np.array([[0, 0, 1.0]], np.float32), np.array([1.0]))
+        s1, _ = tr.associate(np.array([[1.0, 0, 0]], np.float32), np.array([3.0]))
+        assert s1[0] != s0[0]
+        # Starve the first plane past max_age -> slot evicted and reusable.
+        for _ in range(4):
+            tr.associate(np.array([[1.0, 0, 0]], np.float32), np.array([3.0]))
+        assert not tr.active[s0[0]]
+
+    def test_parallel_pairs(self):
+        from kimera_vio_tpu.mesher.plane_tracker import PlaneTracker
+
+        tr = PlaneTracker()
+        for _ in range(2):  # two sightings -> min_hits satisfied
+            tr.associate(
+                np.array([[0, 0, 1.0], [0.01, 0, 1.0], [1.0, 0, 0]], np.float32)
+                / np.array([[1.0], [np.sqrt(1.0001)], [1.0]], np.float32),
+                np.array([1.0, 3.0, 2.0]),
+            )
+        pairs = tr.parallel_pairs()
+        assert len(pairs) == 1  # the two near-z planes; the wall is excluded
+
+
+@pytest.mark.slow
+def test_plane_identity_through_pipeline():
+    """The same tracked plane persists >= 5 keyframes through the full
+    RegularVIO pipeline on the planar scene, and the regularity-refined
+    run stays at least as accurate as the plain run under noise."""
+    from kimera_vio_tpu.dataprovider.synthetic import (
+        SyntheticStereoProvider,
+        _NoiseModel,
+        synthetic_params,
+    )
+    from kimera_vio_tpu.pipeline.stereo_pipeline import StereoImuPipeline
+    from kimera_vio_tpu.utils.logger import compute_ate
+
+    def run(regular):
+        noise = _NoiseModel(
+            imu_rate=200.0, pixel_noise_std=0.5,
+            acc_noise_density=2e-3, gyro_noise_density=1.6968e-4, seed=5,
+        )
+        params = synthetic_params(nr_states=8, max_features=96, max_landmarks=128)
+        params.pipeline.backend_type = 1 if regular else 0
+        prov = SyntheticStereoProvider(n_frames=40, vx=0.5, noise=noise)
+        pipe = StereoImuPipeline(
+            params, parallel_run=False, enable_mesher=regular
+        )
+        out = pipe.run(prov)
+        gt = prov.ground_truth
+        est = np.stack(out.positions)
+        ate = compute_ate(
+            np.array(out.stamps_ns), est, gt.stamps_ns, gt.positions,
+            align=False,
+        )["rmse"]
+        return ate, pipe
+
+    ate_plain, _ = run(False)
+    ate_reg, pipe = run(True)
+    tracker = pipe._plane_tracker
+    # Identity persistence: some plane slot was hit on >= 5 keyframes.
+    assert tracker.hits.max() >= 5, tracker.hits
+    # Regularities must not hurt (and typically help) on the planar scene.
+    assert ate_reg <= ate_plain * 1.2 + 5e-4, (ate_reg, ate_plain)
