@@ -84,6 +84,62 @@ def _smooth_texture(h, w, seed=0, scale=6):
     return big[:h, :w].astype(np.float32)
 
 
+class _NoiseModel:
+    """Shared measurement-corruption recipe for the synthetic providers.
+
+    Mirrors the EuRoC sensor spec (ImuParams defaults): discrete IMU noise
+    std = density * sqrt(rate); constant injected biases are ADDED to the
+    measurements, so the estimator must recover them (the e2e
+    bias-recovery gate, testImuFrontend.cpp class of checks but through
+    the whole pipeline)."""
+
+    def __init__(
+        self,
+        imu_rate: float,
+        pixel_noise_std: float = 0.0,
+        acc_noise_density: float = 0.0,
+        gyro_noise_density: float = 0.0,
+        gyro_bias=None,
+        accel_bias=None,
+        seed: int = 1234,
+    ):
+        self.pixel_noise_std = pixel_noise_std
+        self.acc_std = acc_noise_density * np.sqrt(imu_rate)
+        self.gyro_std = gyro_noise_density * np.sqrt(imu_rate)
+        self.gyro_bias = (
+            np.zeros(3) if gyro_bias is None else np.asarray(gyro_bias, float)
+        )
+        self.accel_bias = (
+            np.zeros(3)
+            if accel_bias is None
+            else np.asarray(accel_bias, float)
+        )
+        self.seed = seed
+
+    @property
+    def enabled(self):
+        return (
+            self.pixel_noise_std > 0
+            or self.acc_std > 0
+            or self.gyro_std > 0
+            or self.gyro_bias.any()
+            or self.accel_bias.any()
+        )
+
+    def corrupt_imu(self, acc, gyr):
+        rng = np.random.default_rng(self.seed)
+        acc = acc + self.accel_bias + rng.normal(0, self.acc_std or 0.0, acc.shape)
+        gyr = gyr + self.gyro_bias + rng.normal(0, self.gyro_std or 0.0, gyr.shape)
+        return acc, gyr
+
+    def corrupt_image(self, img, key_id: int):
+        if self.pixel_noise_std <= 0:
+            return img
+        rng = np.random.default_rng(self.seed * 7919 + key_id)
+        out = img + rng.normal(0, self.pixel_noise_std, img.shape)
+        return np.clip(out, 0.0, 255.0).astype(np.float32)
+
+
 class SyntheticStereoProvider:
     """Duck-typed like EurocDataProvider (frames(), ground_truth,
     imu_sync, load_image)."""
@@ -101,11 +157,13 @@ class SyntheticStereoProvider:
         baseline: float = 0.11,
         seed: int = 0,
         max_imu_per_frame: int = 16,
+        noise: "_NoiseModel | None" = None,
     ):
         self.n_frames = n_frames
         self.width, self.height = width, height
         self.fx, self.baseline, self.depth = fx, baseline, depth
         self.vx = vx
+        self.noise = noise or _NoiseModel(imu_rate)
         total_shift = int(np.ceil(fx * vx * (n_frames / fps) / depth)) + 4
         disp = int(np.ceil(fx * baseline / depth)) + 2
         self.texture = _smooth_texture(
@@ -119,8 +177,13 @@ class SyntheticStereoProvider:
         t_imu = (np.arange(n_imu) * (1e9 / imu_rate)).astype(np.int64)
         acc = np.tile(-GRAVITY, (n_imu, 1))
         gyr = np.zeros((n_imu, 3))
+        acc, gyr = self.noise.corrupt_imu(acc, gyr)
         self.imu_sync = ImuSynchronizer(t_imu, acc, gyr, max_imu_per_frame)
         self.left_stamps = (np.arange(n_frames) * (1e9 / fps)).astype(np.int64)
+        # NOTE: GT bias columns stay zero even with injected bias — the
+        # bootstrap hands GT bias to the estimator (autoInitialize: 0), so
+        # leaving them zero is exactly what makes the e2e bias-RECOVERY
+        # assertion meaningful (tests compare against provider.noise.*_bias).
 
     def _make_gt(self, n, fps, vx):
         stamps = (np.arange(n) * (1e9 / fps)).astype(np.int64)
@@ -147,7 +210,10 @@ class SyntheticStereoProvider:
         w = self.width
         a = self.texture[:, i0 : i0 + w]
         b = self.texture[:, i0 + 1 : i0 + 1 + w]
-        return ((1 - frac) * a + frac * b).astype(np.float32)
+        img = ((1 - frac) * a + frac * b).astype(np.float32)
+        return self.noise.corrupt_image(
+            img, k * 2 + (1 if kind == "right" else 0)
+        )
 
     def frames(self):
         prev_t = None
@@ -198,10 +264,20 @@ class SyntheticPlanar6DofProvider:
         baseline: float = 0.11,
         seed: int = 0,
         max_imu_per_frame: int = 16,
+        noise: "_NoiseModel | None" = None,
+        trans_freq=(0.9, 0.7, 0.5),
+        rot_freq=(0.8, 0.6, 1.1),
+        trans_phase=(0.0, 1.0, 0.4),
+        rot_phase=(0.3, 0.0, 0.7),
     ):
         self.n_frames = n_frames
         self.width, self.height = width, height
         self.fx, self.baseline = fx, baseline
+        self.noise = noise or _NoiseModel(imu_rate)
+        self.trans_freq = np.asarray(trans_freq)
+        self.rot_freq = np.asarray(rot_freq)
+        self.trans_phase = np.asarray(trans_phase)
+        self.rot_phase = np.asarray(rot_phase)
         self.cx, self.cy = width / 2.0, height / 2.0
         self.plane_z = plane_z
         self.fps = fps
@@ -233,39 +309,25 @@ class SyntheticPlanar6DofProvider:
             dR = (self._rot(t + h) - self._rot(t - h)) / (2 * h)
             Wx = R.T @ dR
             gyr[i] = np.array([Wx[2, 1], Wx[0, 2], Wx[1, 0]])
+        acc, gyr = self.noise.corrupt_imu(acc, gyr)
         t_imu = (t_imu_s * 1e9).astype(np.int64)
         self.imu_sync = ImuSynchronizer(t_imu, acc, gyr, max_imu_per_frame)
 
     # -- analytic trajectory -------------------------------------------
+    # Frequencies/phases are configurable: commensurate trans_freq ==
+    # rot_freq makes the trajectory exactly periodic — the "orbit" mode
+    # the loop-closure e2e test uses for guaranteed revisits.
     def _pos(self, t):
-        a = self.trans_amp
-        return np.array(
-            [
-                a[0] * np.sin(0.9 * t),
-                a[1] * np.sin(0.7 * t + 1.0),
-                a[2] * np.sin(0.5 * t + 0.4),
-            ]
-        )
+        a, w, ph = self.trans_amp, self.trans_freq, self.trans_phase
+        return a * np.sin(w * t + ph)
 
     def _vel(self, t):
-        a = self.trans_amp
-        return np.array(
-            [
-                0.9 * a[0] * np.cos(0.9 * t),
-                0.7 * a[1] * np.cos(0.7 * t + 1.0),
-                0.5 * a[2] * np.cos(0.5 * t + 0.4),
-            ]
-        )
+        a, w, ph = self.trans_amp, self.trans_freq, self.trans_phase
+        return a * w * np.cos(w * t + ph)
 
     def _rot(self, t):
-        r = self.rot_amp
-        ang = np.array(
-            [
-                r[0] * np.sin(0.8 * t + 0.3),
-                r[1] * np.sin(0.6 * t),
-                r[2] * np.sin(1.1 * t + 0.7),
-            ]
-        )
+        r, w, ph = self.rot_amp, self.rot_freq, self.rot_phase
+        ang = r * np.sin(w * t + ph)
         # xyz Euler composition (small angles; exact for GT consistency)
         cx_, sx = np.cos(ang[0]), np.sin(ang[0])
         cy_, sy = np.cos(ang[1]), np.sin(ang[1])
@@ -329,7 +391,9 @@ class SyntheticPlanar6DofProvider:
             + self.texture[y0 + 1, x0] * (1 - fxw) * fyw
             + self.texture[y0 + 1, x0 + 1] * fxw * fyw
         )
-        return img.astype(np.float32)
+        return self.noise.corrupt_image(
+            img.astype(np.float32), k * 2 + (1 if kind == "right" else 0)
+        )
 
     def frames(self):
         prev_t = None
