@@ -85,6 +85,12 @@ define_float(
     "max_triangle_side", 0.5, "Mesher triangle filter (reference gflag)"
 )
 define_bool("log_euroc_gt_data", False, "Also write GT csv when available")
+define_int(
+    "max_consecutive_backend_failures", 5,
+    "Stop the pipeline after this many consecutive keyframe solves that "
+    "needed the failure-recovery path (reference is_backend_ok_ -> "
+    "graceful shutdown, Pipeline.cpp:253-269)",
+)
 define_bool(
     "do_fine_imu_camera_temporal_sync", False,
     "Run the cross-correlation IMU-camera time aligner at mission start "
