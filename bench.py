@@ -166,22 +166,57 @@ def main():
         "device": str(jax.devices()[0]),
     }
 
-    # --- accuracy gate: synthetic exact-GT full-pipeline ATE ---------------
+    # --- accuracy gates: synthetic full-pipeline ATE (labeled provenance:
+    # MicroEuroc ships no GT csv in this environment, so the bench's ATE
+    # legs run on the exact-GT synthetic fixtures — constant-velocity,
+    # full 6-DoF, and 6-DoF with EuRoC-spec noise + injected bias) -------
+    extras["ate_provenance"] = (
+        "synthetic exact-GT fixtures (MicroEuroc has no GT csv here)"
+    )
     try:
-        sparams = synthetic_params(nr_states=10, max_features=256, max_landmarks=384)
-        sprov = SyntheticStereoProvider(n_frames=80, vx=0.5)
-        spipe = StereoImuPipeline(sparams, parallel_run=True)
-        sout = spipe.run(sprov)
-        est = np.stack(sout.positions)
-        gt = sprov.ground_truth
-        ate_u = compute_ate(
-            np.array(sout.stamps_ns), est, gt.stamps_ns, gt.positions, align=False
+        from kimera_vio_tpu.dataprovider.synthetic import (
+            SyntheticPlanar6DofProvider,
+            _NoiseModel,
         )
-        ate_a = compute_ate(
-            np.array(sout.stamps_ns), est, gt.stamps_ns, gt.positions, align=True
+
+        def pipeline_ate(prov, n_states=10, feats=256, lmks=384):
+            sparams = synthetic_params(
+                nr_states=n_states, max_features=feats, max_landmarks=lmks
+            )
+            spipe = StereoImuPipeline(sparams, parallel_run=True)
+            sout = spipe.run(prov)
+            est = np.stack(sout.positions)
+            gt = prov.ground_truth
+            u = compute_ate(
+                np.array(sout.stamps_ns), est, gt.stamps_ns, gt.positions,
+                align=False,
+            )["rmse"]
+            a = compute_ate(
+                np.array(sout.stamps_ns), est, gt.stamps_ns, gt.positions,
+                align=True,
+            )["rmse"]
+            return round(u, 4), round(a, 4)
+
+        u, a = pipeline_ate(SyntheticStereoProvider(n_frames=80, vx=0.5))
+        extras["ate_synth_cv_m"] = u
+        extras["ate_synth_cv_aligned_m"] = a
+        u6, _ = pipeline_ate(
+            SyntheticPlanar6DofProvider(n_frames=60), feats=128, lmks=192
         )
-        extras["ate_rmse_m"] = round(ate_u["rmse"], 4)
-        extras["ate_rmse_aligned_m"] = round(ate_a["rmse"], 4)
+        extras["ate_synth_6dof_m"] = u6
+        noise = _NoiseModel(
+            imu_rate=200.0, pixel_noise_std=0.5,
+            acc_noise_density=2.0e-3, gyro_noise_density=1.6968e-4,
+            gyro_bias=(0.008, -0.012, 0.01),
+            accel_bias=(0.05, -0.04, 0.06), seed=7,
+        )
+        un, _ = pipeline_ate(
+            SyntheticPlanar6DofProvider(n_frames=60, noise=noise),
+            feats=128, lmks=192,
+        )
+        extras["ate_synth_6dof_noisy_m"] = un
+        # Back-compat field (round-1/2 key): the CV-fixture unaligned ATE.
+        extras["ate_rmse_m"] = extras["ate_synth_cv_m"]
     except Exception as e:  # keep the fps line even if the ATE leg breaks
         extras["ate_error"] = str(e)[:120]
 
