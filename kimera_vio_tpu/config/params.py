@@ -362,7 +362,12 @@ class BackendParams(ParamsBase):
     add_between_stereo_factors: bool = False
     between_rotation_precision: float = 0.0
     between_translation_precision: float = 100.0
-    # Optimization
+    # Optimization.
+    # relinearize_threshold / relinearize_skip / wildfire_threshold /
+    # use_dog_leg are iSAM2-specific knobs (gtsam ISAM2Params): parsed for
+    # YAML-schema parity but inert here — the TPU smoother relinearizes
+    # the whole fixed-lag window every solve (batched GN), so selective
+    # relinearization thresholds and dog-leg trust regions have no analog.
     relinearize_threshold: float = 0.01
     relinearize_skip: int = 1
     zero_velocity_precision: float = 1000.0
@@ -458,6 +463,10 @@ class LcdParams(ParamsBase):
     pose_recovery_type: int = 0
     between_rotation_precision: float = 10000.0
     lowe_ratio: float = 0.7
+    # matcher_type / scale_factor / nlevels are cv::ORB + cv::DescriptorMatcher
+    # construction knobs: parsed for schema parity, inert here — the TPU ORB
+    # is single-scale with a fixed batched Hamming matcher (the Lowe-ratio
+    # and nfeatures knobs, which change behavior, ARE consumed).
     matcher_type: int = 4
     # ORB
     nfeatures: int = 500

@@ -155,6 +155,18 @@ class FrontendConfig:
             min_point_dist=f(fp.min_point_dist),
             max_point_dist=f(fp.max_point_dist),
             templ_tolerance=f(fp.tolerance_template_matching),
+            # ransac_max_iterations maps onto the batched-hypothesis count
+            # (the reference's opengv max_iterations is a sequential
+            # iteration cap; here all hypotheses evaluate in parallel, so
+            # the cap IS the batch size — rounded to a lane multiple).
+            # Intentionally not consumed (parity notes):
+            # - bidirectional_matching / subpixel_refinement_stereo: parsed
+            #   for schema parity; the REFERENCE never implements them
+            #   either (StereoMatcher.cpp:258 "TODO ... bidirectional
+            #   checking" — dead fields in StereoMatchingParams).
+            # - ransac_probability: sequential-RANSAC early-exit
+            #   confidence; meaningless for a fixed parallel batch.
+            n_hyp_mono=max(64, min(512, (fp.ransac_max_iterations + 63) // 64 * 64)),
         )
 
 

@@ -35,10 +35,13 @@ _PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
 
 def pyr_down(img: jax.Array) -> jax.Array:
-    """Gaussian blur + 2x decimation (cv::pyrDown equivalent)."""
+    """Gaussian blur + 2x decimation (cv::pyrDown equivalent).
+
+    Decimating rows between the separable passes halves the horizontal
+    conv's work (exact: the kept output samples only read kept rows)."""
     k = _PYR_K
-    blurred = _conv2d(_conv2d(img, k[:, None]), k[None, :])
-    return blurred[::2, ::2]
+    v = _conv2d(img, k[:, None])[::2, :]
+    return _conv2d(v, k[None, :])[:, ::2]
 
 
 def build_pyramid(img: jax.Array, max_level: int) -> list[jax.Array]:
