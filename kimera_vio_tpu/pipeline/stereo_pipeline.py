@@ -585,6 +585,8 @@ class StereoImuPipeline:
             "kp_uv": jnp.stack([meas.uvs[:, 0], meas.uvs[:, 2]], -1),
             "kp_ids": meas.ids,
             "kp_mask": meas.mask,
+            # Solver failure-recovery count (module-health propagation).
+            "n_recovered": bout["n_recovered"],
         }
         if getattr(self, "_do_time_align", False):
             # Visual rotation magnitude for the cross-correlation time
