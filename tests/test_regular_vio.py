@@ -246,7 +246,13 @@ def test_plane_identity_through_pipeline():
         )
         params = synthetic_params(nr_states=8, max_features=96, max_landmarks=128)
         params.pipeline.backend_type = 1 if regular else 0
-        prov = SyntheticStereoProvider(n_frames=40, vx=0.5, noise=noise)
+        params.frontend.min_point_dist = 0.3
+        # Near plane (1.8 m): the mesher's max_triangle_side filter
+        # (reference gflag, 0.5 m) keeps triangles only when feature
+        # spacing in 3D is sub-0.5 m.
+        prov = SyntheticStereoProvider(
+            n_frames=40, vx=0.25, depth=1.8, noise=noise
+        )
         pipe = StereoImuPipeline(
             params, parallel_run=False, enable_mesher=regular
         )
