@@ -160,6 +160,19 @@ class StereoImuPipeline:
             cache_dir=cache_dir,
         )
 
+    def state_covariance(self):
+        """Marginal 15x15 covariance of the newest state of the LAST run's
+        final window (reference VioBackend::computeStateCovariance /
+        getStateCovariance, consumed by the ROS wrapper for odometry
+        covariance). On-demand — one extra device solve, not per-frame."""
+        if not hasattr(self, "_last_win"):
+            raise RuntimeError("state_covariance: no completed run yet")
+        return np.asarray(
+            sm.state_covariance(
+                self.backend_cfg, self._last_win, self._last_lmk
+            )
+        )
+
     def _note_backend_health(self, n_recovered: int):
         """Module-failure propagation (reference Pipeline.cpp:253-269 /
         is_backend_ok_): count consecutive keyframe solves that needed the
@@ -940,6 +953,7 @@ class StereoImuPipeline:
                 all_rows = np.asarray(jnp.concatenate(fos_list, axis=0))
                 for ci, chunk in enumerate(chunks):
                     drain((chunk, all_rows[ci * C : (ci + 1) * C]))
+            self._last_win, self._last_lmk = win, lmk
             self._write_final_logs(out)
             return out
 
@@ -967,6 +981,7 @@ class StereoImuPipeline:
                     if verbose and ci % 8 == 0:
                         print(f"chunk {ci}/{len(chunks)}")
             self.lcd_result = lcd_module.finish() if lcd_module else None
+            self._last_win, self._last_lmk = win, lmk
             self._write_final_logs(out)
             return out
 
@@ -1013,6 +1028,7 @@ class StereoImuPipeline:
         drain_q.put(None)
         dth.join()
         self.lcd_result = lcd_module.finish() if lcd_module else None
+        self._last_win, self._last_lmk = win, lmk
         self._write_final_logs(out)
         return out
 
@@ -1353,6 +1369,7 @@ class StereoImuPipeline:
         self.lcd_result = lcd_module.finish() if lcd_module else None
         for stamp_ns, fo in pending_outs:
             drain_out(stamp_ns, fo)
+        self._last_win, self._last_lmk = win, lmk
         self._write_final_logs(out)
         if verbose:
             print(self.stats.print_table())

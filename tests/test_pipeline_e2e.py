@@ -391,3 +391,42 @@ def test_chunked_mode_matches_sequential():
     # Sub-mm agreement: scan-sliced inputs fuse differently in XLA, so
     # exact bitwise equality is not expected at f32.
     np.testing.assert_allclose(p1, p2, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_state_covariance_consumer():
+    """state_covariance() is a real consumer surface (reference
+    VioBackend::getStateCovariance, used by the ROS wrapper): after a run
+    it returns the newest state's 15x15 marginal, SPD and well-scaled."""
+    params = synthetic_params(nr_states=6, max_features=96, max_landmarks=128)
+    prov = SyntheticStereoProvider(n_frames=16, vx=0.5)
+    pipe = StereoImuPipeline(params, parallel_run=False)
+    pipe.run(prov)
+    P = pipe.state_covariance()
+    assert P.shape == (15, 15)
+    np.testing.assert_allclose(P, P.T, atol=1e-6)
+    eig = np.linalg.eigvalsh(P)
+    assert eig.min() > 0, eig.min()
+    # Position variance after a short well-observed run: sub-mm^2 .. cm^2.
+    assert eig.max() < 1.0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(MICRO_EUROC), reason="fixture missing")
+def test_cli_entry_point(tmp_path):
+    """The README quick-start command runs: python -m kimera_vio_tpu with
+    reference params + EuRoC-format dataset + gflags (KimeraVIO.cpp
+    example binary analog)."""
+    from kimera_vio_tpu.__main__ import main
+
+    rc = main([
+        "--params_folder", EUROC_PARAMS,
+        "--dataset_path", MICRO_EUROC,
+        "--initial_k", "10", "--final_k", "25",
+        "--log_output", "--output_path", str(tmp_path),
+        "--parallel_run", "0",
+        "--max_features", "128", "--max_landmarks", "192",
+    ])
+    assert rc == 0
+    assert (tmp_path / "traj_vio.csv").exists()
+    assert (tmp_path / "output_frontend_stats.csv").exists()
