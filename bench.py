@@ -18,6 +18,9 @@ sequence — the accuracy gate rides along every bench run.
 
 import json
 import os
+import subprocess
+import sys
+import tempfile
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -33,7 +36,91 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
 SUPER_MB = int(os.environ.get("BENCH_SUPER_MB", "32"))
 
 
+def ate_legs():
+    """Accuracy gates: full-pipeline ATE on the synthetic exact-GT fixtures.
+
+    Runs in a CPU subprocess (--ate-only) in parallel with the TPU wall
+    measurement: the fixtures are small and the per-frame run() path over
+    the TPU tunnel would pay ~30-80 ms dispatch latency per frame, so CPU
+    is both faster and reproducible. Labeled in ate_provenance.
+    """
+    # The axon sitecustomize registers the TPU backend at interpreter boot
+    # and overrides JAX_PLATFORMS — the config update is the only way to
+    # actually pin this subprocess to CPU.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from kimera_vio_tpu.dataprovider.synthetic import (
+        SyntheticPlanar6DofProvider,
+        SyntheticStereoProvider,
+        _NoiseModel,
+        synthetic_params,
+    )
+    from kimera_vio_tpu.pipeline.stereo_pipeline import StereoImuPipeline
+    from kimera_vio_tpu.utils.logger import compute_ate
+
+    out = {}
+
+    def pipeline_ate(prov, n_states=10, feats=256, lmks=384):
+        sparams = synthetic_params(
+            nr_states=n_states, max_features=feats, max_landmarks=lmks
+        )
+        spipe = StereoImuPipeline(sparams, parallel_run=True)
+        sout = spipe.run(prov)
+        est = np.stack(sout.positions)
+        gt = prov.ground_truth
+        u = compute_ate(
+            np.array(sout.stamps_ns), est, gt.stamps_ns, gt.positions,
+            align=False,
+        )["rmse"]
+        a = compute_ate(
+            np.array(sout.stamps_ns), est, gt.stamps_ns, gt.positions,
+            align=True,
+        )["rmse"]
+        return round(u, 4), round(a, 4)
+
+    u, a = pipeline_ate(SyntheticStereoProvider(n_frames=80, vx=0.5))
+    out["ate_synth_cv_m"] = u
+    out["ate_synth_cv_aligned_m"] = a
+    u6, _ = pipeline_ate(
+        SyntheticPlanar6DofProvider(n_frames=60), feats=128, lmks=192
+    )
+    out["ate_synth_6dof_m"] = u6
+    noise = _NoiseModel(
+        imu_rate=200.0, pixel_noise_std=0.5,
+        acc_noise_density=2.0e-3, gyro_noise_density=1.6968e-4,
+        gyro_bias=(0.008, -0.012, 0.01),
+        accel_bias=(0.05, -0.04, 0.06), seed=7,
+    )
+    un, _ = pipeline_ate(
+        SyntheticPlanar6DofProvider(n_frames=60, noise=noise),
+        feats=128, lmks=192,
+    )
+    out["ate_synth_6dof_noisy_m"] = un
+    # Back-compat field (round-1/2 key): the CV-fixture unaligned ATE.
+    out["ate_rmse_m"] = out["ate_synth_cv_m"]
+    return out
+
+
 def main():
+    _t_start = time.monotonic()
+    # Launch the accuracy legs on CPU in parallel with the TPU wall
+    # measurement below (they share no device).
+    ate_file = tempfile.NamedTemporaryFile(
+        mode="r", suffix=".json", delete=False
+    )
+    ate_env = dict(os.environ)
+    ate_env["JAX_PLATFORMS"] = "cpu"
+    ate_env.pop("JAX_PLATFORM_NAME", None)
+    ate_proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--ate-only"],
+        stdout=open(ate_file.name, "w"),
+        stderr=subprocess.DEVNULL,
+        env=ate_env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -95,7 +182,7 @@ def main():
     # compute is already fully hidden behind the transfer stream), so the
     # best rep is bounded by the best weather sampled.
     best = np.inf
-    for _ in range(8):
+    for _ in range(int(os.environ.get("BENCH_WALL_REPS", "12"))):
         t0 = time.perf_counter()
         out = pipe.run_chunked(pre, chunk_size=CHUNK, super_batch_bytes=SUPER_MB * 1024 * 1024)
         best = min(best, time.perf_counter() - t0)
@@ -188,55 +275,19 @@ def main():
     # --- accuracy gates: synthetic full-pipeline ATE (labeled provenance:
     # MicroEuroc ships no GT csv in this environment, so the bench's ATE
     # legs run on the exact-GT synthetic fixtures — constant-velocity,
-    # full 6-DoF, and 6-DoF with EuRoC-spec noise + injected bias) -------
+    # full 6-DoF, and 6-DoF with EuRoC-spec noise + injected bias),
+    # computed by the parallel CPU subprocess launched at start ----------
     extras["ate_provenance"] = (
-        "synthetic exact-GT fixtures (MicroEuroc has no GT csv here)"
+        "synthetic exact-GT fixtures, CPU leg (MicroEuroc has no GT csv here)"
     )
     try:
-        from kimera_vio_tpu.dataprovider.synthetic import (
-            SyntheticPlanar6DofProvider,
-            _NoiseModel,
-        )
-
-        def pipeline_ate(prov, n_states=10, feats=256, lmks=384):
-            sparams = synthetic_params(
-                nr_states=n_states, max_features=feats, max_landmarks=lmks
-            )
-            spipe = StereoImuPipeline(sparams, parallel_run=True)
-            sout = spipe.run(prov)
-            est = np.stack(sout.positions)
-            gt = prov.ground_truth
-            u = compute_ate(
-                np.array(sout.stamps_ns), est, gt.stamps_ns, gt.positions,
-                align=False,
-            )["rmse"]
-            a = compute_ate(
-                np.array(sout.stamps_ns), est, gt.stamps_ns, gt.positions,
-                align=True,
-            )["rmse"]
-            return round(u, 4), round(a, 4)
-
-        u, a = pipeline_ate(SyntheticStereoProvider(n_frames=80, vx=0.5))
-        extras["ate_synth_cv_m"] = u
-        extras["ate_synth_cv_aligned_m"] = a
-        u6, _ = pipeline_ate(
-            SyntheticPlanar6DofProvider(n_frames=60), feats=128, lmks=192
-        )
-        extras["ate_synth_6dof_m"] = u6
-        noise = _NoiseModel(
-            imu_rate=200.0, pixel_noise_std=0.5,
-            acc_noise_density=2.0e-3, gyro_noise_density=1.6968e-4,
-            gyro_bias=(0.008, -0.012, 0.01),
-            accel_bias=(0.05, -0.04, 0.06), seed=7,
-        )
-        un, _ = pipeline_ate(
-            SyntheticPlanar6DofProvider(n_frames=60, noise=noise),
-            feats=128, lmks=192,
-        )
-        extras["ate_synth_6dof_noisy_m"] = un
-        # Back-compat field (round-1/2 key): the CV-fixture unaligned ATE.
-        extras["ate_rmse_m"] = extras["ate_synth_cv_m"]
+        rc = ate_proc.wait(timeout=max(120, 1500 - int(time.monotonic() - _t_start)))
+        with open(ate_file.name) as fh:
+            extras.update(json.loads(fh.read().strip().splitlines()[-1]))
+        if rc != 0:
+            extras["ate_error"] = f"ate subprocess rc={rc}"
     except Exception as e:  # keep the fps line even if the ATE leg breaks
+        ate_proc.kill()
         extras["ate_error"] = str(e)[:120]
 
     print(
@@ -253,4 +304,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--ate-only" in sys.argv:
+        print(json.dumps(ate_legs()))
+    else:
+        main()

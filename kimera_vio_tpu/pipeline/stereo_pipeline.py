@@ -738,57 +738,6 @@ class StereoImuPipeline:
             return out
         first = packets[0]
         t0_ns = first["stamp_ns"]
-
-        # ---- bootstrap on frame 0: ONE stacked transfer + ONE dispatch
-        # (each separate dispatch/transfer pays ~30-80 ms tunnel latency).
-        l0 = provider.load_image(first["left_path"])
-        r0 = (
-            provider.load_image(first["right_path"])
-            if "right_path" in first
-            else l0
-        )
-        stack0 = np.stack([l0, r0])
-        if l0.dtype != r0.dtype:  # RGB-D: uint8 left + float depth
-            stack0 = np.stack([l0, r0]).astype(np.float32)
-        pair0 = jnp.asarray(stack0)
-        nav0, bias0 = self._bootstrap_state(provider, t0_ns, first["imu"])
-        if not hasattr(self, "_bootstrap_fused"):
-
-            def _bootstrap_impl(pair, R0, p0, v0, b0):
-                fe_state, meas0 = self.frontend._init_state_impl(
-                    pair[0], pair[1], jnp.float32(0.0)
-                )
-                fe_state = fe_state.replace(
-                    imu_bias=ImuBias(accel=b0[0:3], gyro=b0[3:6])
-                )
-                w = sm.Window.empty(self.backend_cfg.nr_states)
-                w = sm.bootstrap(
-                    cfg=self.backend_cfg, win=w,
-                    nav=NavState(rot=R0, pos=p0, vel=v0), bias=b0,
-                    stamp=jnp.float32(0.0),
-                )
-                l = sm.LandmarkTable.empty(
-                    self.backend_cfg.max_landmarks, self.backend_cfg.nr_states
-                )
-                l = sm.update_landmarks(
-                    l, meas0.ids, meas0.uvs, meas0.mask, jnp.int32(0)
-                )
-                return fe_state, w, l
-
-            self._bootstrap_fused = jax.jit(_bootstrap_impl)
-        fe_state, win, lmk = self._bootstrap_fused(
-            pair0, nav0.rot, nav0.pos, nav0.vel, bias0
-        )
-        # Record the bootstrap state from the HOST-side values (a device
-        # fetch costs ~30-80 ms on the tunnel; win slot 0 == nav0 exactly).
-        self._record_raw(
-            out, t0_ns, np.asarray(nav0.pos),
-            self._np_rot_to_quat(np.asarray(nav0.rot)),
-            np.asarray(nav0.vel), np.asarray(bias0),
-        )
-        out.n_keyframes += 1
-        out.n_frames += 1
-
         rest = [p for p in packets[1:] if p.get("imu") is not None]
 
         # ---- background stager ------------------------------------------
@@ -797,7 +746,9 @@ class StereoImuPipeline:
         # chunk-sized ones can crawl) — so frames are staged in SUPER-
         # batches of several chunks in ONE stacked uint8 transfer + one
         # packed f32 aux transfer, and the per-dispatch chunks are sliced
-        # on-device (device-to-device, off the host path).
+        # on-device (device-to-device, off the host path). Started BEFORE
+        # the bootstrap below so the first super-batch streams while the
+        # bootstrap transfers/dispatches (~0.1 s of tunnel time hidden).
         C = chunk_size
         if rest:
             frame_bytes = 2 * int(
@@ -851,6 +802,56 @@ class StereoImuPipeline:
 
         th = threading.Thread(target=stager, daemon=True)
         th.start()
+
+        # ---- bootstrap on frame 0: ONE stacked transfer + ONE dispatch
+        # (each separate dispatch/transfer pays ~30-80 ms tunnel latency).
+        l0 = provider.load_image(first["left_path"])
+        r0 = (
+            provider.load_image(first["right_path"])
+            if "right_path" in first
+            else l0
+        )
+        stack0 = np.stack([l0, r0])
+        if l0.dtype != r0.dtype:  # RGB-D: uint8 left + float depth
+            stack0 = np.stack([l0, r0]).astype(np.float32)
+        pair0 = jnp.asarray(stack0)
+        nav0, bias0 = self._bootstrap_state(provider, t0_ns, first["imu"])
+        if not hasattr(self, "_bootstrap_fused"):
+
+            def _bootstrap_impl(pair, R0, p0, v0, b0):
+                fe_state, meas0 = self.frontend._init_state_impl(
+                    pair[0], pair[1], jnp.float32(0.0)
+                )
+                fe_state = fe_state.replace(
+                    imu_bias=ImuBias(accel=b0[0:3], gyro=b0[3:6])
+                )
+                w = sm.Window.empty(self.backend_cfg.nr_states)
+                w = sm.bootstrap(
+                    cfg=self.backend_cfg, win=w,
+                    nav=NavState(rot=R0, pos=p0, vel=v0), bias=b0,
+                    stamp=jnp.float32(0.0),
+                )
+                l = sm.LandmarkTable.empty(
+                    self.backend_cfg.max_landmarks, self.backend_cfg.nr_states
+                )
+                l = sm.update_landmarks(
+                    l, meas0.ids, meas0.uvs, meas0.mask, jnp.int32(0)
+                )
+                return fe_state, w, l
+
+            self._bootstrap_fused = jax.jit(_bootstrap_impl)
+        fe_state, win, lmk = self._bootstrap_fused(
+            pair0, nav0.rot, nav0.pos, nav0.vel, bias0
+        )
+        # Record the bootstrap state from the HOST-side values (a device
+        # fetch costs ~30-80 ms on the tunnel; win slot 0 == nav0 exactly).
+        self._record_raw(
+            out, t0_ns, np.asarray(nav0.pos),
+            self._np_rot_to_quat(np.asarray(nav0.rot)),
+            np.asarray(nav0.vel), np.asarray(bias0),
+        )
+        out.n_keyframes += 1
+        out.n_frames += 1
 
         minimal = not collect_aux
         mesher = lcd_module = None
