@@ -667,12 +667,94 @@ class StereoImuPipeline:
                         fo["n_recovered"].astype(jnp.float32)[None],
                     ]
                 )
+            else:
+                # Aux mode: same single-fetch principle — pack the per-frame
+                # field dict into ONE f32 + ONE i32 row (ids stay exact in
+                # int32; f32 would silently round ids past 2^24 on long
+                # missions). Unpacked host-side by _unpack_aux_rows.
+                fo = (
+                    jnp.concatenate(
+                        [
+                            fo["median_disparity"][None],
+                            fo["rot"].reshape(9),
+                            fo["pos"],
+                            fo["vel"],
+                            fo["bias"],
+                            fo["lmk_points"].reshape(-1),
+                            fo["kp_uv"].reshape(-1),
+                        ]
+                    ),
+                    jnp.concatenate(
+                        [
+                            jnp.stack(
+                                [
+                                    fo["is_keyframe"].astype(jnp.int32),
+                                    fo["n_tracked"].astype(jnp.int32),
+                                    fo["n_mono_inliers"].astype(jnp.int32),
+                                    fo["n_stereo_inliers"].astype(jnp.int32),
+                                    fo["n_recovered"].astype(jnp.int32),
+                                ]
+                            ),
+                            fo["lmk_ids"].astype(jnp.int32),
+                            fo["lmk_valid"].astype(jnp.int32),
+                            fo["kp_ids"].astype(jnp.int32),
+                            fo["kp_mask"].astype(jnp.int32),
+                        ]
+                    ),
+                )
             return (fe_state, win, lmk), fo
 
         (fe_state, win, lmk), fos = jax.lax.scan(
             body, (fe_state, win, lmk), (imgs, aux)
         )
         return fe_state, win, lmk, fos
+
+    def _unpack_aux_rows(self, fos):
+        """Host-side inverse of the aux-mode packing in _chunk_step_impl:
+        (C,Pf) f32 + (C,Pi) i32 -> per-field host dict. TWO device fetches
+        per chunk instead of one per field (each fetch pays ~30-80 ms
+        tunnel latency on this platform)."""
+        f = np.asarray(fos[0])
+        ii = np.asarray(fos[1])
+        L = self.backend_cfg.max_landmarks
+        N = self.frontend_cfg.max_features
+        C = f.shape[0]
+        out = {}
+        o = 0
+
+        def takef(n, shape=None):
+            nonlocal o
+            v = f[:, o : o + n]
+            o += n
+            return v.reshape((C,) + shape) if shape else v[:, 0] if n == 1 else v
+
+        out["median_disparity"] = takef(1)
+        out["rot"] = takef(9, (3, 3))
+        out["pos"] = takef(3)
+        out["vel"] = takef(3)
+        out["bias"] = takef(6)
+        out["lmk_points"] = takef(L * 3, (L, 3))
+        out["kp_uv"] = takef(N * 2, (N, 2))
+        oi = 0
+
+        def takei(n, dtype=np.int32, shape=None):
+            nonlocal oi
+            v = ii[:, oi : oi + n].astype(dtype)
+            oi += n
+            if shape:
+                return v.reshape((C,) + shape)
+            return v[:, 0] if n == 1 else v
+
+        out["is_keyframe"] = takei(1, bool)
+        out["n_tracked"] = takei(1)
+        out["n_mono_inliers"] = takei(1)
+        out["n_stereo_inliers"] = takei(1)
+        out["n_recovered"] = takei(1)
+        out["lmk_ids"] = takei(L)
+        out["lmk_valid"] = takei(L, bool)
+        out["kp_ids"] = takei(N)
+        out["kp_mask"] = takei(N, bool)
+        return out
 
     def run_chunked(
         self,
@@ -904,7 +986,7 @@ class StereoImuPipeline:
                         if self.logger:
                             self.logger.log_timing(p["stamp_ns"], 0.0)
                 return
-            host = jax.tree.map(np.asarray, fos)
+            host = fos  # already unpacked to a host dict by the callers
             for i, p in enumerate(chunk):
                 out.n_frames += 1
                 if self.frontend_logger:
@@ -975,7 +1057,7 @@ class StereoImuPipeline:
                     fe_state, win, lmk, fos = self._chunk_step(
                         fe_state, win, lmk, imgs, aux, B, minimal=False
                     )
-                    host = jax.tree.map(np.asarray, fos)
+                    host = self._unpack_aux_rows(fos)
                     drain((chunks[ci], host))
                     win = feed_aux_chunk(chunks[ci], host, win, lmk)
                     ci += 1
@@ -996,7 +1078,7 @@ class StereoImuPipeline:
                 if item is None:
                     return
                 chunk, fos = item
-                host = jax.tree.map(np.asarray, fos)
+                host = self._unpack_aux_rows(fos)
                 drain((chunk, host))
                 if collect_aux:
                     feed_aux_chunk(chunk, host, None, None)
