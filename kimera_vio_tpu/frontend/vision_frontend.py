@@ -85,6 +85,14 @@ class FrontendConfig:
     detector_type: int = struct.field(pytree_node=False, default=3)
     mono: bool = struct.field(pytree_node=False, default=False)
     rgbd: bool = struct.field(pytree_node=False, default=False)
+    # LCD feature capacity: > 0 fuses the loop-closure front half
+    # (detect + oriented-binary descriptors + sparse stereo) into the
+    # keyframe branch — the images are already on device, so the host LCD
+    # module gets its features from the frame outputs instead of paying
+    # per-keyframe image re-transfers + dispatches over the tunnel
+    # (reference extracts cv::ORB inside the LCD thread,
+    # LoopClosureDetector.cpp:142-150).
+    lcd_features: int = struct.field(pytree_node=False, default=0)
     use_pallas_lk: bool = struct.field(pytree_node=False, default=False)
     # LK implementation: "matmul" (MXU window resampling — fastest on TPU),
     # "gather" (vmapped dynamic-slice), or "" to follow use_pallas_lk.
@@ -605,6 +613,8 @@ class StereoFrontend:
                 "t_mono": jnp.zeros(3, cur_feats.uv.dtype),
                 "R_mono": jnp.eye(3, dtype=cur_feats.uv.dtype),
             }
+            if cfg.lcd_features > 0:
+                dummy_extras.update(self._lcd_zeros())
             return nk_state, dummy_meas, dummy_extras
 
         operands = (
@@ -640,12 +650,68 @@ class StereoFrontend:
         return new_state, outputs
 
     # ------------------------------------------------------------------
+    def _lcd_extract(self, left_rect, right_rect):
+        """Loop-closure feature front half, fused into the keyframe branch
+        (mirrors LcdModule._extract; reference LoopClosureDetector.cpp:
+        125-150 re-detects ORB + rebuilds sparse stereo in the LCD thread).
+        Runs on device where the rectified images already live — the host
+        LCD consumes these fields from the frame output instead of paying
+        per-keyframe image uploads + extraction dispatches."""
+        from kimera_vio_tpu.loopclosure import orb as orb_mod
+        from kimera_vio_tpu.ops.stereo_matching import match_stereo
+
+        n = self.cfg.lcd_features
+        uv, ok = det.detect_features(
+            left_rect,
+            jnp.zeros((8, 2), jnp.float32),
+            jnp.zeros(8, bool),
+            n,
+            min_distance=12.0,
+            do_subpixel=False,
+        )
+        desc, _, dok = orb_mod.orb_descriptors(left_rect, uv, ok)
+        uvr, depth, sok = match_stereo(
+            left_rect, right_rect, uv, ok,
+            fx=self.stereo.fx, baseline=self.stereo.baseline,
+            templ_cols=31, templ_rows=11, max_disparity=128,
+        )
+        uvd = jnp.stack([uv[:, 0], uvr[:, 0], uv[:, 1]], -1)
+        pts3 = self.stereo.backproject_rect(uvd)
+        versors = pts3 / jnp.maximum(
+            jnp.linalg.norm(pts3, axis=-1, keepdims=True), 1e-9
+        )
+        return {
+            "lcd_uv": uv.astype(jnp.float32),
+            "lcd_ok": dok & sok,
+            "lcd_desc": desc,
+            "lcd_versors": versors.astype(jnp.float32),
+            "lcd_pts3": pts3.astype(jnp.float32),
+        }
+
+    def _lcd_zeros(self, dtype=jnp.float32):
+        n = self.cfg.lcd_features
+        return {
+            "lcd_uv": jnp.zeros((n, 2), jnp.float32),
+            "lcd_ok": jnp.zeros(n, bool),
+            "lcd_desc": jnp.zeros((n, 8), jnp.uint32),
+            "lcd_versors": jnp.zeros((n, 3), jnp.float32),
+            "lcd_pts3": jnp.zeros((n, 3), jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
     def _keyframe_branch(
         self, state, cur_feats, cur_pyr, left_img, right_img, pim, R_cam, stamp
     ):
         cfg = self.cfg
         left_rect = self._remap_left(left_img)
         right_rect = right_img if cfg.rgbd else self._remap_right(right_img)
+        lcd_extras = (
+            self._lcd_extract(
+                left_rect, left_rect if cfg.mono else right_rect
+            )
+            if cfg.lcd_features > 0
+            else {}
+        )
 
         # 5. Mono RANSAC on lkf<->cur bearing correspondences.
         f_ref = state.lkf_features.versors
@@ -712,6 +778,7 @@ class StereoFrontend:
                 "R_stereo": jnp.eye(3, dtype=cur_feats.uv.dtype),
                 "t_mono": t_mono,
                 "R_mono": R_mono,
+                **lcd_extras,
             }
             return kf_state, meas_out, extras
 
@@ -813,6 +880,7 @@ class StereoFrontend:
             "R_stereo": R_stereo,
             "t_mono": t_mono,
             "R_mono": R_mono,
+            **lcd_extras,
         }
         return kf_state, meas_out, extras
 

@@ -115,11 +115,28 @@ class LcdModule:
         )
 
     # ------------------------------------------------------------------
+    def add_keyframe_packed(
+        self, uv, ok, desc, versors, pts3, pose_R, pose_t, stamp_ns
+    ):
+        """Keyframe whose LCD features were already extracted on device
+        inside the pipeline's fused keyframe branch (StereoFrontend.
+        _lcd_extract) — skips this module's own extraction dispatches."""
+        return self._add(
+            np.asarray(uv), np.asarray(ok), np.asarray(desc),
+            np.asarray(versors), np.asarray(pts3),
+            pose_R, pose_t, stamp_ns,
+        )
+
     def add_keyframe(self, left_rect, right_rect, pose_R, pose_t, stamp_ns):
         """Returns a verified LoopResult or None."""
         uv, ok, desc, versors, pts3 = self._extract(
             jnp.asarray(left_rect), jnp.asarray(right_rect)
         )
+        return self._add(
+            uv, ok, desc, versors, pts3, pose_R, pose_t, stamp_ns
+        )
+
+    def _add(self, uv, ok, desc, versors, pts3, pose_R, pose_t, stamp_ns):
         payload = dict(
             uv=uv, ok=ok, desc=desc, versors=versors, pts3=pts3,
             pose_R=np.asarray(pose_R), pose_t=np.asarray(pose_t),

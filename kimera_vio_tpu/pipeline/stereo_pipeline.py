@@ -100,6 +100,12 @@ class StereoImuPipeline:
             self.frontend_cfg = self.frontend_cfg.replace(
                 use_1point_stereo=False
             )
+        if self.enable_lcd:
+            # Fuse the LCD feature front half into the keyframe branch
+            # (detect + descriptors + sparse stereo on the already-on-device
+            # rectified images); the host LcdModule consumes the fields from
+            # the frame outputs. 256 matches LcdModule's feature capacity.
+            self.frontend_cfg = self.frontend_cfg.replace(lcd_features=256)
         self.pim_params = imu.PimParams.from_params(params.imu)
         self.frontend = StereoFrontend(
             self.frontend_cfg, self.stereo, self.pim_params
@@ -254,11 +260,26 @@ class StereoImuPipeline:
                 # :1316; the plane queue is keyframe-lagged there too).
                 win = self._regular_refine(win, lmk, mesh, fo)
         if lcd_module is not None:
-            from kimera_vio_tpu.frontend.camera import remap_bilinear
+            if "lcd_uv" in fo:
+                # LCD features were extracted on device inside the fused
+                # keyframe branch — no image re-upload / extraction
+                # dispatches (each costs 30-80 ms tunnel latency).
+                lcd_module.add_keyframe_packed(
+                    np.asarray(fo["lcd_uv"]),
+                    np.asarray(fo["lcd_ok"]),
+                    np.asarray(fo["lcd_desc"]),
+                    np.asarray(fo["lcd_versors"]),
+                    np.asarray(fo["lcd_pts3"]),
+                    pose_R, pose_t, stamp_ns,
+                )
+            else:
+                from kimera_vio_tpu.frontend.camera import remap_bilinear
 
-            lrect = remap_bilinear(left, self.frontend.map_left)
-            rrect = remap_bilinear(right, self.frontend.map_right)
-            lcd_module.add_keyframe(lrect, rrect, pose_R, pose_t, stamp_ns)
+                lrect = remap_bilinear(left, self.frontend.map_left)
+                rrect = remap_bilinear(right, self.frontend.map_right)
+                lcd_module.add_keyframe(
+                    lrect, rrect, pose_R, pose_t, stamp_ns
+                )
         if mesh is not None and self.output_path and self._mesher_logger:
             verts = mesh.vertices.reshape(-1, 3)
             tri_idx = np.arange(len(verts)).reshape(-1, 3)
@@ -601,6 +622,11 @@ class StereoImuPipeline:
             # Solver failure-recovery count (module-health propagation).
             "n_recovered": bout["n_recovered"],
         }
+        if self.frontend_cfg.lcd_features > 0:
+            # On-device LCD features (keyframe branch; zeros otherwise).
+            for k in ("lcd_uv", "lcd_ok", "lcd_desc", "lcd_versors",
+                      "lcd_pts3"):
+                frame_out[k] = fe_out[k]
         if getattr(self, "_do_time_align", False):
             # Visual rotation magnitude for the cross-correlation time
             # aligner (CrossCorrTimeAligner.cpp; needs VISION-estimated
@@ -672,36 +698,44 @@ class StereoImuPipeline:
                 # field dict into ONE f32 + ONE i32 row (ids stay exact in
                 # int32; f32 would silently round ids past 2^24 on long
                 # missions). Unpacked host-side by _unpack_aux_rows.
-                fo = (
-                    jnp.concatenate(
+                f_parts = [
+                    fo["median_disparity"][None],
+                    fo["rot"].reshape(9),
+                    fo["pos"],
+                    fo["vel"],
+                    fo["bias"],
+                    fo["lmk_points"].reshape(-1),
+                    fo["kp_uv"].reshape(-1),
+                ]
+                i_parts = [
+                    jnp.stack(
                         [
-                            fo["median_disparity"][None],
-                            fo["rot"].reshape(9),
-                            fo["pos"],
-                            fo["vel"],
-                            fo["bias"],
-                            fo["lmk_points"].reshape(-1),
-                            fo["kp_uv"].reshape(-1),
+                            fo["is_keyframe"].astype(jnp.int32),
+                            fo["n_tracked"].astype(jnp.int32),
+                            fo["n_mono_inliers"].astype(jnp.int32),
+                            fo["n_stereo_inliers"].astype(jnp.int32),
+                            fo["n_recovered"].astype(jnp.int32),
                         ]
                     ),
-                    jnp.concatenate(
-                        [
-                            jnp.stack(
-                                [
-                                    fo["is_keyframe"].astype(jnp.int32),
-                                    fo["n_tracked"].astype(jnp.int32),
-                                    fo["n_mono_inliers"].astype(jnp.int32),
-                                    fo["n_stereo_inliers"].astype(jnp.int32),
-                                    fo["n_recovered"].astype(jnp.int32),
-                                ]
-                            ),
-                            fo["lmk_ids"].astype(jnp.int32),
-                            fo["lmk_valid"].astype(jnp.int32),
-                            fo["kp_ids"].astype(jnp.int32),
-                            fo["kp_mask"].astype(jnp.int32),
-                        ]
-                    ),
-                )
+                    fo["lmk_ids"].astype(jnp.int32),
+                    fo["lmk_valid"].astype(jnp.int32),
+                    fo["kp_ids"].astype(jnp.int32),
+                    fo["kp_mask"].astype(jnp.int32),
+                ]
+                if "lcd_uv" in fo:
+                    f_parts += [
+                        fo["lcd_uv"].reshape(-1),
+                        fo["lcd_versors"].reshape(-1),
+                        fo["lcd_pts3"].reshape(-1),
+                    ]
+                    i_parts += [
+                        fo["lcd_ok"].astype(jnp.int32),
+                        # bitcast keeps the 256 descriptor bits exact
+                        jax.lax.bitcast_convert_type(
+                            fo["lcd_desc"], jnp.int32
+                        ).reshape(-1),
+                    ]
+                fo = (jnp.concatenate(f_parts), jnp.concatenate(i_parts))
             return (fe_state, win, lmk), fo
 
         (fe_state, win, lmk), fos = jax.lax.scan(
@@ -754,6 +788,15 @@ class StereoImuPipeline:
         out["lmk_valid"] = takei(L, bool)
         out["kp_ids"] = takei(N)
         out["kp_mask"] = takei(N, bool)
+        M = self.frontend_cfg.lcd_features
+        if M > 0:
+            out["lcd_uv"] = takef(M * 2, (M, 2))
+            out["lcd_versors"] = takef(M * 3, (M, 3))
+            out["lcd_pts3"] = takef(M * 3, (M, 3))
+            out["lcd_ok"] = takei(M, bool)
+            out["lcd_desc"] = (
+                takei(M * 8, shape=(M, 8)).view(np.uint32)
+            )
         return out
 
     def run_chunked(
