@@ -184,20 +184,22 @@ class LoopClosureDetector:
             desc, angles, ok = self._orb(
                 jnp.asarray(img), jnp.asarray(uv), jnp.asarray(mask)
             )
-        bow = self._transform(desc, ok)
+        # BoW transform + database scoring run on HOST numpy: at keyframe
+        # rate the math is trivial (256x256 Hamming argmin + L1 scores)
+        # and each device dispatch would pay 30-80 ms tunnel latency —
+        # same division of labor as the reference's CPU LCD thread.
+        bow = self.vocab.transform_np(desc, ok)
         kf_id = self.n_kf
 
         result = None
         max_match = kf_id - cfg.recent_frames_window
         if max_match > 0:
-            scores = np.asarray(
-                self._score(bow, jnp.asarray(self.db[:max_match]))
-            )
+            scores = BowVocabulary.score_np(bow, self.db[:max_match])
             # NSS normalization (detectLoop :708-719).
             nss = 1.0
             if cfg.use_nss and self.latest_bow is not None:
                 nss = float(
-                    np.asarray(self._score(bow, self.latest_bow[None]))[0]
+                    BowVocabulary.score_np(bow, self.latest_bow[None])[0]
                 )
             if not cfg.use_nss or nss >= cfg.min_nss_factor:
                 # Candidates above alpha * nss (detectLoop :721-730),

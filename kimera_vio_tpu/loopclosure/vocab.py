@@ -101,6 +101,26 @@ class BowVocabulary:
         (both L1-normalized)."""
         return 1.0 - 0.5 * jnp.abs(v[None, :] - db).sum(-1)
 
+    # ---- host (numpy) twins: the keyframe-rate BoW bookkeeping is tiny
+    # (256 descriptors x 256 words), so on a remote-device platform the
+    # dispatch round trips cost 100x the math — the LCD hot loop uses
+    # these, keeping the device for the image-scale work. ----
+    def transform_np(self, desc, mask) -> np.ndarray:
+        desc = np.ascontiguousarray(np.asarray(desc), dtype=np.uint32)
+        cb = np.ascontiguousarray(np.asarray(self.codebook), dtype=np.uint32)
+        d = np.bitwise_count(
+            np.bitwise_xor(desc[:, None, :], cb[None, :, :])
+        ).sum(-1)
+        word = d.argmin(1)
+        tf = np.zeros(self.n_words, np.float32)
+        np.add.at(tf, word, np.asarray(mask).astype(np.float32))
+        v = tf * np.asarray(self.idf)
+        return (v / max(float(np.abs(v).sum()), 1e-9)).astype(np.float32)
+
+    @staticmethod
+    def score_np(v, db) -> np.ndarray:
+        return 1.0 - 0.5 * np.abs(np.asarray(v)[None, :] - np.asarray(db)).sum(-1)
+
     # ---- persistence (the role of the reference's ORBvoc.yml load,
     # LoopClosureDetector.cpp:37-75; npz instead of the 100MB yml) ----
     def save(self, path: str):

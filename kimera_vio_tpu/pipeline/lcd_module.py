@@ -168,10 +168,11 @@ class LcdModule:
         self._train_mask.clear()
 
     def _feed(self, p):
+        # numpy end-to-end: the keyframe-rate BoW path is host-side now.
         return self.lcd.add_keyframe(
             None, p["uv"], p["ok"], p["versors"], p["pts3"],
             p["pose_R"], p["pose_t"], int(p["stamp"]),
-            desc_override=(jnp.asarray(p["desc"]), jnp.asarray(p["ok"])),
+            desc_override=(p["desc"], p["ok"]),
         )
 
     # ------------------------------------------------------------------
