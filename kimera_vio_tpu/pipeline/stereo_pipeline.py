@@ -41,6 +41,7 @@ from kimera_vio_tpu.frontend.vision_frontend import (
     FrontendConfig,
     StereoFrontend,
 )
+from kimera_vio_tpu.ops.frame_codec import decode_delta4, encode_delta4
 from kimera_vio_tpu.utils.logger import BackendLogger, FrontendLogger
 from kimera_vio_tpu.utils.stats import StatsCollector
 
@@ -875,12 +876,21 @@ class StereoImuPipeline:
         # the bootstrap below so the first super-batch streams while the
         # bootstrap transfers/dispatches (~0.1 s of tunnel time hidden).
         C = chunk_size
+        # Lossless temporal-delta staging codec (ops/frame_codec.py): ships
+        # ~1.7x fewer bytes over the transfer-bound h2d link; the device
+        # reconstructs exact frames (unpack + scatter + time cumsum), so
+        # trajectories are bit-identical to raw staging. Per-super-batch
+        # fallback to raw when the scene defeats the 4-bit deltas.
+        use_codec = os.environ.get("KIMERA_STAGE_CODEC", "delta4") != "raw"
         if rest:
             frame_bytes = 2 * int(
                 np.prod(provider.load_image(rest[0]["left_path"]).shape)
             )
+            # super_batch_bytes budgets WIRE bytes; delta4 frames cost
+            # ~0.6x raw, so more frames fit per transfer.
+            eff_bytes = (frame_bytes * 3) // 5 if use_codec else frame_bytes
             super_frames = max(
-                C, super_batch_bytes // max(frame_bytes, 1) // C * C
+                C, super_batch_bytes // max(eff_bytes, 1) // C * C
             )
         else:
             super_frames = C
@@ -909,7 +919,24 @@ class StereoImuPipeline:
                 if i < n_real:
                     aux[i, B * 7 : B * 8] = np.asarray(blk.mask, np.float32)
                 aux[i, B * 8] = (p["stamp_ns"] - t0_ns) * 1e-9
-            return jnp.asarray(imgs), jnp.asarray(aux), B
+            enc = encode_delta4(imgs) if use_codec else None
+            if enc is not None:
+                wire = (
+                    jnp.asarray(enc["base"]),
+                    jnp.asarray(enc["packed"]),
+                    jnp.asarray(enc["esc_idx"]),
+                    jnp.asarray(enc["esc_val"]),
+                    enc["shape"],
+                )
+                return ("delta4", wire, jnp.asarray(aux), B)
+            return ("raw", jnp.asarray(imgs), jnp.asarray(aux), B)
+
+        def materialize(payload):
+            """Staged payload -> (imgs_super_batch, aux, B) on device."""
+            if payload[0] == "delta4":
+                _, (base, packed, ei, ev, shape), aux, B = payload
+                return decode_delta4(base, packed, ei, ev, shape), aux, B
+            return payload[1], payload[2], payload[3]
 
         chunks = [
             rest[i : i + chunk_size] for i in range(0, len(rest), chunk_size)
@@ -1063,7 +1090,8 @@ class StereoImuPipeline:
                 item = staged.get()
                 if item is None:
                     break
-                (imgs_sb, aux_sb, B), n_real = item
+                payload, n_real = item
+                imgs_sb, aux_sb, B = materialize(payload)
                 n_inner = imgs_sb.shape[0] // C
                 for k in range(n_inner):
                     imgs = jax.lax.slice_in_dim(imgs_sb, k * C, (k + 1) * C)
@@ -1092,7 +1120,8 @@ class StereoImuPipeline:
                 item = staged.get()
                 if item is None:
                     break
-                (imgs_sb, aux_sb, B), n_real = item
+                payload, n_real = item
+                imgs_sb, aux_sb, B = materialize(payload)
                 n_inner = imgs_sb.shape[0] // C
                 for k in range(n_inner):
                     imgs = jax.lax.slice_in_dim(imgs_sb, k * C, (k + 1) * C)
@@ -1134,7 +1163,8 @@ class StereoImuPipeline:
             item = staged.get()
             if item is None:
                 break
-            (imgs_sb, aux_sb, B), n_real = item
+            payload, n_real = item
+            imgs_sb, aux_sb, B = materialize(payload)
             n_inner = imgs_sb.shape[0] // C
             for k in range(n_inner):
                 # Device-side chunk slice (no host traffic).

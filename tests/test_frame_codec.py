@@ -1,0 +1,111 @@
+"""Round-trip tests for the temporal-delta 4-bit staging codec."""
+import os
+
+import numpy as np
+import pytest
+
+from kimera_vio_tpu.ops.frame_codec import (
+    decode_delta4,
+    encode_delta4,
+    wire_bytes,
+)
+
+MICRO_EUROC = "/root/reference/tests/data/MicroEurocDataset/mav0/cam0/data"
+
+
+def _roundtrip(frames, esc_cap=None):
+    enc = encode_delta4(frames, esc_cap=esc_cap)
+    assert enc is not None
+    dec = np.asarray(
+        decode_delta4(
+            enc["base"], enc["packed"], enc["esc_idx"], enc["esc_val"],
+            enc["shape"],
+        )
+    )
+    np.testing.assert_array_equal(dec, frames)
+    return enc
+
+
+def test_roundtrip_smooth_video():
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (2, 48, 64), np.int16)
+    frames = [base]
+    for _ in range(9):
+        frames.append(
+            np.clip(frames[-1] + rng.integers(-5, 6, base.shape), 0, 255)
+        )
+    stack = np.stack(frames).astype(np.uint8)
+    enc = _roundtrip(stack)
+    # Compresses: nibbles halve the non-base payload.
+    assert wire_bytes(enc) < stack.nbytes * 0.75
+
+
+def test_roundtrip_with_escapes():
+    rng = np.random.default_rng(1)
+    stack = np.stack(
+        [np.full((32, 32), 100, np.uint8) for _ in range(6)]
+    )
+    # Inject large jumps (outside [-7, 7]) at scattered pixels.
+    for t in range(1, 6):
+        ii = rng.integers(0, 32, 20)
+        jj = rng.integers(0, 32, 20)
+        stack[t:, ii, jj] = rng.integers(0, 256, 20, np.uint8)[None, :]
+    _roundtrip(stack)
+
+
+def test_escape_overflow_returns_none():
+    rng = np.random.default_rng(2)
+    # Pure noise: nearly every delta escapes -> codec declines.
+    stack = rng.integers(0, 256, (4, 64, 64), np.uint8)
+    assert encode_delta4(stack, esc_cap=16) is None
+
+
+def test_non_uint8_declines():
+    assert encode_delta4(np.zeros((4, 8, 8), np.float32)) is None
+    assert encode_delta4(np.zeros((1, 8, 8), np.uint8)) is None
+
+
+def test_native_encoder_matches_numpy(monkeypatch):
+    """The C++ single-pass encoder (native/delta4.cpp) is bit-identical
+    to the numpy reference implementation, escapes included."""
+    from kimera_vio_tpu import native
+    from kimera_vio_tpu.ops import frame_codec as fc
+
+    if native.load("delta4") is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (2, 40, 50), np.int16)
+    frames = [base]
+    for _ in range(7):
+        step = rng.integers(-6, 7, base.shape)
+        # Sprinkle out-of-range jumps to exercise the escape path.
+        jump = rng.random(base.shape) < 0.01
+        step = np.where(jump, rng.integers(-200, 200, base.shape), step)
+        frames.append(np.clip(frames[-1] + step, 0, 255))
+    stack = np.stack(frames).astype(np.uint8)
+    monkeypatch.setenv("KIMERA_DELTA4_NATIVE", "0")
+    enc_np = fc.encode_delta4(stack)
+    monkeypatch.setenv("KIMERA_DELTA4_NATIVE", "1")
+    enc_cc = fc.encode_delta4(stack)
+    for k in ("base", "packed", "esc_idx", "esc_val"):
+        np.testing.assert_array_equal(enc_np[k], enc_cc[k])
+    assert enc_np["shape"] == enc_cc["shape"]
+    _roundtrip(stack)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(MICRO_EUROC), reason="MicroEuroc not present"
+)
+def test_roundtrip_micro_euroc_frames():
+    import cv2
+
+    names = sorted(os.listdir(MICRO_EUROC))[:12]
+    stack = np.stack(
+        [
+            cv2.imread(os.path.join(MICRO_EUROC, n), cv2.IMREAD_GRAYSCALE)
+            for n in names
+        ]
+    )
+    enc = _roundtrip(stack)
+    # The whole point: real EuRoC frames are delta-compressible ~1.7x+.
+    assert wire_bytes(enc) < stack.nbytes * 0.62

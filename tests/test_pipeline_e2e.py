@@ -394,6 +394,36 @@ def test_chunked_mode_matches_sequential():
 
 
 @pytest.mark.slow
+def test_chunked_delta4_codec_matches_raw(monkeypatch):
+    """The temporal-delta staging codec (ops/frame_codec.py) is lossless:
+    run_chunked with delta4 staging is BIT-IDENTICAL to raw staging (the
+    decoded frames are exact, so the device programs see the same bytes).
+    Uses a uint8-quantized provider: the synthetic renderers emit float32,
+    which the codec declines by design."""
+
+    class Uint8Provider(SyntheticStereoProvider):
+        def load_image(self, key):
+            img = super().load_image(key)
+            return np.clip(img, 0, 255).astype(np.uint8)
+
+    params = synthetic_params(nr_states=8, max_features=96, max_landmarks=128)
+    outs = {}
+    for codec in ("delta4", "raw"):
+        monkeypatch.setenv("KIMERA_STAGE_CODEC", codec)
+        prov = Uint8Provider(n_frames=30, vx=0.5)
+        outs[codec] = StereoImuPipeline(params, parallel_run=False).run_chunked(
+            prov, chunk_size=8
+        )
+    assert outs["delta4"].n_keyframes == outs["raw"].n_keyframes
+    np.testing.assert_array_equal(
+        np.stack(outs["delta4"].positions), np.stack(outs["raw"].positions)
+    )
+    np.testing.assert_array_equal(
+        np.stack(outs["delta4"].quats_wxyz), np.stack(outs["raw"].quats_wxyz)
+    )
+
+
+@pytest.mark.slow
 def test_state_covariance_consumer():
     """state_covariance() is a real consumer surface (reference
     VioBackend::getStateCovariance, used by the ROS wrapper): after a run
