@@ -184,12 +184,15 @@ def main():
     # Measured floor: wall time ~= dataset bytes / h2d bandwidth (the
     # compute is already fully hidden behind the transfer stream), so the
     # best rep is bounded by the best weather sampled.
-    best = np.inf
+    times = []
     for _ in range(int(os.environ.get("BENCH_WALL_REPS", "12"))):
         t0 = time.perf_counter()
         out = pipe.run_chunked(pre, chunk_size=CHUNK, super_batch_bytes=SUPER_MB * 1024 * 1024)
-        best = min(best, time.perf_counter() - t0)
-    fps = out.n_frames / best
+        times.append(time.perf_counter() - t0)
+    fps = out.n_frames / min(times)
+    # Sustained number alongside the best rep: the tunnel's weather varies
+    # between reps, so the median shows the wall fps is not a lucky sample.
+    fps_median = out.n_frames / float(np.median(times))
 
     # --- device-only pass: pre-staged chunks, chained dispatch -------------
     import kimera_vio_tpu.backend.smoother as smod
@@ -265,6 +268,7 @@ def main():
         h2d_mbps = 32.0 / (time.perf_counter() - t0)
 
     extras = {
+        "wall_fps_median": round(fps_median, 2),
         "device_fps": round(device_fps, 2),
         "h2d_MBps": round(h2d_mbps, 1),
         "dataset": dataset,
