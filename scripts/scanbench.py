@@ -9,7 +9,10 @@ dispatch, one sync; per-rep time = (t_scan(reps) - t_scan(1)) / (reps - 1).
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
