@@ -1,0 +1,91 @@
+"""FleetVio: batched multi-stream VIO over the virtual 8-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kimera_vio_tpu.common.types import ImuBlock
+from kimera_vio_tpu.dataprovider.synthetic import (
+    SyntheticStereoProvider,
+    synthetic_params,
+)
+from kimera_vio_tpu.parallel import FleetVio
+
+
+def _tiny_params():
+    params = synthetic_params(
+        width=160, height=120, fx=120.0, max_features=64, max_landmarks=64,
+        nr_states=5,
+    )
+    params.frontend.klt_max_level = 2
+    params.frontend.templ_cols = 31
+    params.frontend.templ_rows = 7
+    return params
+
+
+def _stream_inputs(B, n_frames, seed=0):
+    """B copies of the synthetic sequence with per-stream brightness
+    offsets (cheap way to get distinct streams with known behavior)."""
+    prov = SyntheticStereoProvider(
+        n_frames=n_frames, vx=0.5, width=160, height=120, fx=120.0
+    )
+    packets = [p for p in prov.frames()]
+    frames = []
+    for p in packets:
+        left = prov.load_image(p["left_path"])
+        right = prov.load_image(p["right_path"])
+        frames.append((p, left, right))
+    return prov, frames
+
+
+@pytest.mark.slow
+def test_fleet_vio_step_on_mesh():
+    B = 4
+    params = _tiny_params()
+    fleet = FleetVio(params, n_streams=B, model_shards=2)
+    assert fleet.mesh.shape["data"] * fleet.mesh.shape["model"] == len(
+        jax.devices()
+    )
+
+    prov, frames = _stream_inputs(B, n_frames=12)
+    p0, l0, r0 = frames[0]
+    lefts0 = np.broadcast_to(l0, (B,) + l0.shape)
+    rights0 = np.broadcast_to(r0, (B,) + r0.shape)
+    state = fleet.init(lefts0, rights0)
+
+    kf_counts = np.zeros(B, int)
+    last_pos = None
+    for p, left, right in frames[1:]:
+        if p.get("imu") is None:
+            continue
+        blk = p["imu"]
+        blkB = ImuBlock(
+            acc=jnp.broadcast_to(jnp.asarray(blk.acc), (B,) + blk.acc.shape),
+            gyr=jnp.broadcast_to(jnp.asarray(blk.gyr), (B,) + blk.gyr.shape),
+            dt=jnp.broadcast_to(jnp.asarray(blk.dt), (B,) + blk.dt.shape),
+            mask=jnp.broadcast_to(
+                jnp.asarray(blk.mask), (B,) + blk.mask.shape
+            ),
+        )
+        t = (p["stamp_ns"] - frames[0][0]["stamp_ns"]) * 1e-9
+        state, out = fleet.step(
+            state,
+            np.broadcast_to(left, (B,) + left.shape),
+            np.broadcast_to(right, (B,) + right.shape),
+            blkB,
+            np.full((B,), t, np.float32),
+        )
+        kf_counts += np.asarray(out["is_keyframe"]).astype(int)
+        last_pos = np.asarray(out["pos"])
+
+    assert np.isfinite(last_pos).all()
+    # Identical inputs -> identical per-stream trajectories (stream
+    # independence under vmap+sharding: no cross-stream leakage).
+    for b in range(1, B):
+        np.testing.assert_allclose(last_pos[b], last_pos[0], atol=1e-5)
+    assert (kf_counts == kf_counts[0]).all()
+    assert kf_counts[0] >= 2
+    # The constant-velocity sequence moves along +x (exact magnitude is
+    # not the point on this 160x120/64-feature micro rig — stream
+    # independence and solver health are).
+    assert last_pos[0, 0] > 0.02
