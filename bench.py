@@ -12,8 +12,16 @@ images + IMU), including host staging + h2d transfers, after one warm-up
 pass (XLA compile excluded — the reference benchmark also excludes its
 one-time dataset parse). `device_fps` = the same chunk dispatches with
 pre-staged device inputs (isolates this environment's host->device tunnel).
-`ate_rmse_m` = unaligned full-pipeline ATE on the synthetic exact-GT
-sequence — the accuracy gate rides along every bench run.
+ATE legs = full-pipeline ATE on the synthetic exact-GT fixtures plus
+trajectory-statistics bands on MicroEuroc (no GT csv ships here — see
+BASELINE.md "Accuracy measurement status").
+
+Time budget: the whole script fits inside BENCH_BUDGET_S seconds (default
+540). Every leg after the mandatory warm-up checks the remaining budget
+and is skipped/shortened rather than overrunning; a SIGALRM failsafe
+prints whatever has been measured so far and exits 0 if anything hangs
+(round-3 postmortem: the driver's run hit its timeout with nothing
+printed — BENCH_r03.json rc=124/parsed:null).
 """
 
 import json
@@ -21,9 +29,16 @@ import os
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# Repo-local compile cache: /tmp does not survive environment resets, the
+# repo checkout does — so a warm cache from a mid-round run is still warm
+# when the driver runs bench at end-of-round (cold warmup compile is
+# ~200 s, warm is seconds).
+_CACHE = os.path.join(_REPO, ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 
 import numpy as np
 
@@ -34,6 +49,58 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
 # Super-batch staging size: h2d bandwidth on the tunnel improves with
 # transfer size, so bigger super-batches can lift wall fps.
 SUPER_MB = int(os.environ.get("BENCH_SUPER_MB", "32"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+
+_T0 = time.monotonic()
+_RESULT = {
+    "metric": "euroc_stereo_inertial_fps",
+    "value": 0.0,
+    "unit": "frames/s",
+    "vs_baseline": 0.0,
+}
+_PRINTED = False
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+_EMIT_LOCK = threading.Lock()
+
+
+def _emit(status="ok"):
+    """Print the single JSON line exactly once (main thread or watchdog)."""
+    global _PRINTED
+    with _EMIT_LOCK:
+        if _PRINTED:
+            return
+        _PRINTED = True
+        _RESULT["budget_s"] = BUDGET_S
+        _RESULT["elapsed_s"] = round(time.monotonic() - _T0, 1)
+        _RESULT["status"] = status
+        print(json.dumps(_RESULT), flush=True)
+
+
+_CHILD = None  # the --ate-only subprocess, killed by the watchdog
+
+
+def _watchdog():  # pragma: no cover - timing failsafe
+    """Emit whatever has been measured and exit when the budget expires.
+
+    A daemon THREAD, not SIGALRM: the main thread spends minutes inside
+    single C calls (XLA compilation, blocking transfers) during which
+    Python signal handlers are not delivered — a thread keeps running and
+    can always print + _exit (round-3 postmortem: driver killed the
+    process with nothing on stdout)."""
+    time.sleep(max(30.0, BUDGET_S + 20.0))
+    if _CHILD is not None:
+        try:
+            _CHILD.kill()
+        except Exception:
+            pass
+    _emit(status="budget_expired")
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def ate_legs():
@@ -50,6 +117,7 @@ def ate_legs():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
 
     from kimera_vio_tpu.dataprovider.synthetic import (
         SyntheticPlanar6DofProvider,
@@ -83,10 +151,15 @@ def ate_legs():
     u, a = pipeline_ate(SyntheticStereoProvider(n_frames=80, vx=0.5))
     out["ate_synth_cv_m"] = u
     out["ate_synth_cv_aligned_m"] = a
+    # Emit the constant-velocity leg immediately: if the parent's budget
+    # window closes before the 6-DoF legs finish, it merges what exists
+    # (the parent reads the LAST complete line).
+    print(json.dumps(out), flush=True)
     u6, _ = pipeline_ate(
         SyntheticPlanar6DofProvider(n_frames=60), feats=128, lmks=192
     )
     out["ate_synth_6dof_m"] = u6
+    print(json.dumps(out), flush=True)
     noise = _NoiseModel(
         imu_rate=200.0, pixel_noise_std=0.5,
         acc_noise_density=2.0e-3, gyro_noise_density=1.6968e-4,
@@ -104,7 +177,10 @@ def ate_legs():
 
 
 def main():
-    _t_start = time.monotonic()
+    # Failsafe fires a few seconds past the soft budget so orderly
+    # deadline checks get first chance to wrap up.
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     # Launch the accuracy legs on CPU in parallel with the TPU wall
     # measurement below (they share no device).
     ate_file = tempfile.NamedTemporaryFile(
@@ -115,18 +191,19 @@ def main():
     ate_env.pop("JAX_PLATFORM_NAME", None)
     # nice 19: this box has a single host core; the ATE subprocess must
     # yield it whenever the TPU wall measurement needs staging cycles.
-    ate_proc = subprocess.Popen(
+    global _CHILD
+    ate_proc = _CHILD = subprocess.Popen(
         ["nice", "-n", "19", sys.executable, os.path.abspath(__file__),
          "--ate-only"],
         stdout=open(ate_file.name, "w"),
         stderr=subprocess.DEVNULL,
         env=ate_env,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
+        cwd=_REPO,
     )
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
@@ -137,7 +214,6 @@ def main():
         synthetic_params,
     )
     from kimera_vio_tpu.pipeline.stereo_pipeline import StereoImuPipeline
-    from kimera_vio_tpu.utils.logger import compute_ate
 
     use_euroc = os.path.isdir(MICRO_EUROC) and os.path.isdir(EUROC_PARAMS)
     if use_euroc:
@@ -173,26 +249,52 @@ def main():
 
     pre = Preloaded()
 
-    # --- warm-up pass (compile) -------------------------------------------
+    # --- warm-up pass (compile; mandatory) ---------------------------------
     t0 = time.perf_counter()
-    pipe.run_chunked(pre, chunk_size=CHUNK, super_batch_bytes=SUPER_MB * 1024 * 1024)
+    out = pipe.run_chunked(pre, chunk_size=CHUNK, super_batch_bytes=SUPER_MB * 1024 * 1024)
     warm_s = time.perf_counter() - t0
+    _RESULT.update(
+        {
+            "dataset": dataset,
+            "n_frames": out.n_frames,
+            "n_keyframes": out.n_keyframes,
+            "warmup_s": round(warm_s, 2),
+            "chunk": CHUNK,
+            "device": str(jax.devices()[0]),
+        }
+    )
+    # The warm-up IS a full wall pass (inflated by compile) — it seeds the
+    # wall sample so even a budget-starved run reports a lower bound.
+    _RESULT["value"] = round(out.n_frames / warm_s, 2)
+    _RESULT["vs_baseline"] = round(_RESULT["value"] / BASELINE_FPS, 3)
 
-    # --- timed wall pass (staging + transfers + compute + readback) --------
+    # --- timed wall passes (staging + transfers + compute + readback) ------
     # Several repetitions: the tunnel's h2d bandwidth varies ~20x between
     # runs (shared infra); best-of-N reflects the framework, not weather.
     # Measured floor: wall time ~= dataset bytes / h2d bandwidth (the
     # compute is already fully hidden behind the transfer stream), so the
-    # best rep is bounded by the best weather sampled.
+    # best rep is bounded by the best weather sampled. Rep count adapts to
+    # the remaining budget (reserve covers device passes + probe + merge).
     times = []
-    for _ in range(int(os.environ.get("BENCH_WALL_REPS", "12"))):
+    reserve = 60.0
+    max_reps = int(os.environ.get("BENCH_WALL_REPS", "12"))
+    while len(times) < max_reps:
+        est = max(times) if times else max(2.0, out.n_frames / 30.0)
+        if _remaining() < reserve + 1.5 * est:
+            break
         t0 = time.perf_counter()
         out = pipe.run_chunked(pre, chunk_size=CHUNK, super_batch_bytes=SUPER_MB * 1024 * 1024)
         times.append(time.perf_counter() - t0)
-    fps = out.n_frames / min(times)
-    # Sustained number alongside the best rep: the tunnel's weather varies
-    # between reps, so the median shows the wall fps is not a lucky sample.
-    fps_median = out.n_frames / float(np.median(times))
+    if times:
+        fps = out.n_frames / min(times)
+        _RESULT["value"] = round(fps, 2)
+        _RESULT["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+        # Sustained number alongside the best rep: the tunnel's weather
+        # varies between reps; the median shows it is not a lucky sample.
+        _RESULT["wall_fps_median"] = round(
+            out.n_frames / float(np.median(times)), 2
+        )
+        _RESULT["wall_reps"] = len(times)
 
     # --- device-only pass: pre-staged chunks, chained dispatch -------------
     import kimera_vio_tpu.backend.smoother as smod
@@ -220,9 +322,6 @@ def main():
                 aux[i, B * 7 : B * 8] = np.asarray(blk.mask, np.float32)
             aux[i, B * 8] = (p["stamp_ns"] - t0_ns) * 1e-9
         return jnp.asarray(imgs), jnp.asarray(aux)
-
-    staged = [stage_np(c) for c in chunks]
-    jax.block_until_ready(staged)
 
     def device_pass():
         K = pipe.backend_cfg.nr_states
@@ -252,62 +351,79 @@ def main():
         jax.block_until_ready(win.pos)
         return len(rest) / (time.perf_counter() - t0)
 
-    device_pass()  # warm (init_state etc. already compiled, cheap)
-    device_fps = max(device_pass() for _ in range(3))
+    if _remaining() > 45.0:
+        staged = [stage_np(c) for c in chunks]
+        jax.block_until_ready(staged)
+        device_fps = device_pass()  # warm (graphs already compiled)
+        passes = 1
+        while passes < 4 and _remaining() > 40.0:
+            device_fps = max(device_fps, device_pass())
+            passes += 1
+        _RESULT["device_fps"] = round(device_fps, 2)
+        _RESULT["device_passes"] = passes
+        del staged
 
     # h2d weather probe: the wall number's physical floor is
     # dataset_bytes / h2d bandwidth (shared-tunnel weather, varies ~20x);
     # recording it makes the wall fps interpretable.
-    probe = np.random.default_rng(0).integers(
-        0, 255, (32 << 20,), dtype=np.uint8
-    )
-    h2d_mbps = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        jax.block_until_ready(jnp.asarray(probe))
-        h2d_mbps = 32.0 / (time.perf_counter() - t0)
+    if _remaining() > 30.0:
+        probe = np.random.default_rng(0).integers(
+            0, 255, (32 << 20,), dtype=np.uint8
+        )
+        h2d_mbps = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jnp.asarray(probe))
+            h2d_mbps = 32.0 / (time.perf_counter() - t0)
+        _RESULT["h2d_MBps"] = round(h2d_mbps, 1)
 
-    extras = {
-        "wall_fps_median": round(fps_median, 2),
-        "device_fps": round(device_fps, 2),
-        "h2d_MBps": round(h2d_mbps, 1),
-        "dataset": dataset,
-        "n_frames": out.n_frames,
-        "n_keyframes": out.n_keyframes,
-        "warmup_s": round(warm_s, 2),
-        "chunk": CHUNK,
-        "device": str(jax.devices()[0]),
-    }
+    # --- MicroEuroc trajectory-statistics gate (no GT csv ships here;
+    # see BASELINE.md): bands on the warm chunked output that a broken
+    # frontend/backend would violate. The MicroEuroc camera translates
+    # ~gently for ~4.7 s; a diverged solver produces jumps/NaNs. --------
+    if dataset == "MicroEuroc" and len(out.positions) >= 2:
+        pos = np.asarray(out.positions, np.float64)
+        step = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+        _RESULT["micro_path_m"] = round(float(step.sum()), 3)
+        _RESULT["micro_max_kf_step_m"] = round(float(step.max()), 3)
+        _RESULT["micro_finite"] = bool(np.isfinite(pos).all())
+        _RESULT["micro_traj_ok"] = bool(
+            np.isfinite(pos).all()
+            and step.max() < 0.5
+            and step.sum() < 5.0
+        )
 
     # --- accuracy gates: synthetic full-pipeline ATE (labeled provenance:
     # MicroEuroc ships no GT csv in this environment, so the bench's ATE
     # legs run on the exact-GT synthetic fixtures — constant-velocity,
     # full 6-DoF, and 6-DoF with EuRoC-spec noise + injected bias),
-    # computed by the parallel CPU subprocess launched at start ----------
-    extras["ate_provenance"] = (
+    # computed by the parallel CPU subprocess launched at start. The wait
+    # is bounded by the remaining budget — never block the JSON line. ---
+    _RESULT["ate_provenance"] = (
         "synthetic exact-GT fixtures, CPU leg (MicroEuroc has no GT csv here)"
     )
     try:
-        rc = ate_proc.wait(timeout=max(120, 1500 - int(time.monotonic() - _t_start)))
-        with open(ate_file.name) as fh:
-            extras.update(json.loads(fh.read().strip().splitlines()[-1]))
+        wait_s = max(1.0, min(_remaining() - 10.0, 420.0))
+        rc = ate_proc.wait(timeout=wait_s)
         if rc != 0:
-            extras["ate_error"] = f"ate subprocess rc={rc}"
+            _RESULT["ate_error"] = f"ate subprocess rc={rc}"
+    except subprocess.TimeoutExpired:
+        ate_proc.kill()
+        _RESULT["ate_error"] = "ate legs exceeded budget (partial merged)"
     except Exception as e:  # keep the fps line even if the ATE leg breaks
         ate_proc.kill()
-        extras["ate_error"] = str(e)[:120]
+        _RESULT["ate_error"] = str(e)[:120]
+    try:
+        # The subprocess prints a cumulative JSON line after each leg;
+        # merge the last complete one.
+        with open(ate_file.name) as fh:
+            lines = [l for l in fh.read().strip().splitlines() if l.strip()]
+        if lines:
+            _RESULT.update(json.loads(lines[-1]))
+    except Exception as e:
+        _RESULT.setdefault("ate_error", str(e)[:120])
 
-    print(
-        json.dumps(
-            {
-                "metric": "euroc_stereo_inertial_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-                **extras,
-            }
-        )
-    )
+    _emit()
 
 
 if __name__ == "__main__":
