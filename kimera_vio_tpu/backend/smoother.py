@@ -28,12 +28,14 @@ and `backend_step` is a single jittable function
 (state, keyframe-inputs) -> (state, outputs).
 
 Timestamp representation: window stamps are float32 SECONDS RELATIVE to
-the mission start (the pipeline subtracts t0_ns before entering the
-graph). f32 holds ~1e-7 relative resolution, so intra-window dt stays
-microsecond-accurate for missions up to several hours; for longer
-missions rebase t0 periodically on the host (the trajectory output keeps
-absolute int64 nanoseconds throughout, so only the in-graph dt math is
-affected).
+a host-owned origin t0 (the pipeline subtracts t0_ns before entering the
+graph). The pipeline REBASES t0 periodically
+(StereoImuPipeline._rebase_delta_s / _apply_rebase, wired into both
+run() and run_chunked()): in-graph stamps stay bounded by
+margin + interval (~0.5-1.5 ks) for missions of ANY length, keeping
+stamp resolution ~3e-5 s; stamps are only ever consumed as differences,
+so the shift is output-neutral (asserted by tests/test_rebase.py). The
+trajectory output keeps absolute int64 nanoseconds throughout.
 """
 
 from __future__ import annotations
@@ -454,8 +456,10 @@ def _no_motion_blocks(cfg: BackendConfig, win: Window, ks=None):
         r_rot = geo.so3_log(dR) / cfg.no_motion_rot_sigma
         r_pos = (win.pos[k] - win.pos[k - 1]) / cfg.no_motion_pos_sigma
         r_vel = win.vel[k] / cfg.zero_velocity_sigma
-        # Jacobians (approximate: identity structure; exact enough for the
-        # tiny residuals these factors see).
+        # Exact Jacobians under the world-frame additive position
+        # retraction (verified vs jax.jacfwd in
+        # tests/test_factor_jacobians.py): dLog(Ri^T Rj)/dth_j = Jr^{-1},
+        # dLog(Ri^T Rj)/dth_i = -Jr^{-1} dR^T.
         Jr = geo.so3_right_jacobian_inv(geo.so3_log(dR))
         Ji = jnp.zeros((9, S_DOF), win.pos.dtype)
         Jj = jnp.zeros((9, S_DOF), win.pos.dtype)
@@ -488,14 +492,19 @@ def _between_blocks(cfg, win, mR, mt, mvalid, rot_sigma, pos_sigma, ks=None):
 
     def one(k):
         dR = jnp.swapaxes(win.rot[k - 1], -1, -2) @ win.rot[k]
-        r_rot = geo.so3_log(jnp.swapaxes(mR[k], -1, -2) @ dR) * w_rot
+        xi = geo.so3_log(jnp.swapaxes(mR[k], -1, -2) @ dR)
+        r_rot = xi * w_rot
         t_rel = jnp.einsum(
             "ji,j->i", win.rot[k - 1], win.pos[k] - win.pos[k - 1]
         )
         r_pos = (t_rel - mt[k]) * w_pos
-        # First-order Jacobians (same approximation class as the no-motion
-        # factor; these factors are soft constraints).
-        Jr = geo.so3_right_jacobian_inv(geo.so3_log(dR))
+        # Exact Jacobians under the world-frame additive position
+        # retraction (R <- R Exp(dth), p <- p + dp): for
+        # xi = Log(mR^T Ri^T Rj),  dxi/dth_j = Jr^{-1}(xi) and
+        # dxi/dth_i = -Jr^{-1}(xi) dR^T; verified against jax.jacfwd in
+        # tests/test_factor_jacobians.py (which caught the earlier
+        # Jr^{-1}(Log dR) form — exact only at mR == dR).
+        Jr = geo.so3_right_jacobian_inv(xi)
         RiT = jnp.swapaxes(win.rot[k - 1], -1, -2)
         Ji = jnp.zeros((6, S_DOF), win.pos.dtype)
         Jj = jnp.zeros((6, S_DOF), win.pos.dtype)
@@ -1186,11 +1195,21 @@ def backend_step(
     return win, lmk, outputs
 
 
-def state_covariance(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
+def state_covariance(
+    cfg: BackendConfig, win: Window, lmk: LandmarkTable,
+    return_ok: bool = False,
+):
     """Marginal covariance of the newest state (15x15): invert the full
     window information onto the newest block (reference
     VioBackend::computeStateCovariance, :708-723 — gtsam marginals on
-    the joint pose/velocity/bias). Jittable; call on demand."""
+    the joint pose/velocity/bias). Jittable; call on demand.
+
+    `return_ok=True` additionally returns a health flag: the assembly
+    reuses the robust weights at the CURRENT estimate without the
+    solver's recovery path, so on a sick window (non-finite rows, a
+    non-PD Hessian after equilibration, or a non-finite/non-positive
+    covariance diagonal) the numbers are meaningless — consumers
+    (e.g. a ROS odometry-covariance publisher) must check the flag."""
     K = cfg.nr_states
     D = K * S_DOF
     H, g, _, _ = _assemble(cfg, win, lmk)
@@ -1204,7 +1223,18 @@ def state_covariance(cfg: BackendConfig, win: Window, lmk: LandmarkTable):
     rows = newest * S_DOF + jnp.arange(S_DOF)
     E = jnp.zeros((D, S_DOF), H.dtype)
     E = E.at[rows, jnp.arange(S_DOF)].set(1.0)
+    Hs = jnp.where(jnp.isfinite(Hs), Hs, 0.0)
     Lc = jnp.linalg.cholesky(Hs)
     X = jax.scipy.linalg.cho_solve((Lc, True), E * dinv[:, None])
     cov = (X * dinv[:, None])[rows, :]  # (15,15) marginal block
-    return 0.5 * (cov + cov.T)
+    cov = 0.5 * (cov + cov.T)
+    if not return_ok:
+        return cov
+    var = jnp.diagonal(cov)
+    ok = (
+        jnp.isfinite(H).all()
+        & jnp.isfinite(Lc).all()  # NaN Cholesky = not positive definite
+        & jnp.isfinite(cov).all()
+        & (var > 0).all()
+    )
+    return cov, ok

