@@ -39,6 +39,17 @@ def _stream_inputs(B, n_frames, seed=0):
 
 
 @pytest.mark.slow
+def test_dryrun_multichip_distinct_streams_equivalence():
+    """The driver-facing multichip check: full fused step (frontend +
+    backend) for DISTINCT streams on the (data, model) mesh, each stream
+    asserted equal to its own unsharded single-device run, with keyframes
+    exercised (see __graft_entry__.dryrun_multichip)."""
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(len(jax.devices()))
+
+
+@pytest.mark.slow
 def test_fleet_vio_step_on_mesh():
     B = 4
     params = _tiny_params()
