@@ -105,8 +105,17 @@ class StereoImuPipeline:
             # Fuse the LCD feature front half into the keyframe branch
             # (detect + descriptors + sparse stereo on the already-on-device
             # rectified images); the host LcdModule consumes the fields from
-            # the frame outputs. 256 matches LcdModule's feature capacity.
-            self.frontend_cfg = self.frontend_cfg.replace(lcd_features=256)
+            # the frame outputs. Budget and spacing come from LcdParams
+            # (nfeatures / min_distance) so the fused path matches
+            # LcdModule's capacity — the reference drives its LCD ORB
+            # params from the same YAML (LoopClosureDetectorParams).
+            _lcd_p = getattr(params, "lcd", None)
+            self.frontend_cfg = self.frontend_cfg.replace(
+                lcd_features=int(getattr(_lcd_p, "nfeatures", 256) or 256),
+                lcd_min_distance=float(
+                    getattr(_lcd_p, "min_distance", 12.0) or 12.0
+                ),
+            )
         self.pim_params = imu.PimParams.from_params(params.imu)
         self.frontend = StereoFrontend(
             self.frontend_cfg, self.stereo, self.pim_params
@@ -136,6 +145,25 @@ class StereoImuPipeline:
             )
         )
         self._fused_step = jax.jit(self._fused_step_impl)
+        # f32 time-origin rebase (the "rebase on the host for long
+        # missions" contract of backend/smoother.py's stamp
+        # representation): in-graph stamps are f32 seconds relative to a
+        # host-owned t0; once the mission time passes margin+interval,
+        # t0 advances by whole multiples of the interval and the window /
+        # frontend stamps are shifted in-graph. The margin exceeds the
+        # maximum window time-span (nr_states * max_intra_keyframe_time),
+        # so shifted stamps stay positive and the f32 subtraction is exact
+        # (Sterbenz); in-graph stamps are thus bounded by
+        # margin + interval + one keyframe period forever, keeping stamp
+        # resolution ~3e-5 s regardless of mission length.
+        span = float(params.backend.nr_states) * float(
+            getattr(params.frontend, "max_intra_keyframe_time_s", 5.0)
+        )
+        self._rebase_margin_s = max(128.0, span + 8.0)
+        self._rebase_interval_s = float(
+            max(256.0, 2.0 ** np.ceil(np.log2(2.0 * self._rebase_margin_s)))
+        )
+        self._n_rebases = 0
         self.output_path = output_path
         self.logger = BackendLogger(output_path) if output_path else None
         self.frontend_logger = FrontendLogger(output_path) if output_path else None
@@ -167,18 +195,66 @@ class StereoImuPipeline:
             cache_dir=cache_dir,
         )
 
-    def state_covariance(self):
+    def state_covariance(self, return_ok: bool = False):
         """Marginal 15x15 covariance of the newest state of the LAST run's
         final window (reference VioBackend::computeStateCovariance /
         getStateCovariance, consumed by the ROS wrapper for odometry
-        covariance). On-demand — one extra device solve, not per-frame."""
+        covariance). On-demand — one extra device solve, not per-frame.
+        `return_ok=True` adds a health flag (False = sick window, the
+        numbers are meaningless — see smoother.state_covariance)."""
         if not hasattr(self, "_last_win"):
             raise RuntimeError("state_covariance: no completed run yet")
-        return np.asarray(
-            sm.state_covariance(
-                self.backend_cfg, self._last_win, self._last_lmk
-            )
+        out = sm.state_covariance(
+            self.backend_cfg, self._last_win, self._last_lmk,
+            return_ok=return_ok,
         )
+        if return_ok:
+            cov, ok = out
+            return np.asarray(cov), bool(ok)
+        return np.asarray(out)
+
+    def _log_frontend_img(self, stamp_ns: int, uv, ids, mask, left):
+        """--log_frontend_images: per-keyframe feature-track overlay PNG
+        (reference logFrontendImg, StereoVisionImuFrontend.cpp:540,599;
+        green tracked / blue new / red dead)."""
+        from kimera_vio_tpu.config import flags as _flags
+        from kimera_vio_tpu.utils.debug_images import (
+            save_feature_track_overlay,
+        )
+
+        out_dir = self.output_path or _flags.get_flag("output_path")
+        ids = np.asarray(ids)
+        mask = np.asarray(mask)
+        left_rect = np.asarray(self.frontend._remap_left(jnp.asarray(left)))
+        save_feature_track_overlay(
+            left_rect, np.asarray(uv), ids, mask,
+            getattr(self, "_prev_kf_ids", None),
+            os.path.join(out_dir, "frontend_images", f"{stamp_ns}.png"),
+        )
+        self._prev_kf_ids = [int(i) for i in ids[mask & (ids >= 0)]]
+
+    def _rebase_delta_s(self, rel_s: float) -> float:
+        """Whole-interval t0 shift due at relative mission time `rel_s`
+        (0.0 when no rebase is needed). Multiples of the interval are
+        exactly representable in f32."""
+        import math
+
+        if rel_s < self._rebase_margin_s + self._rebase_interval_s:
+            return 0.0
+        return self._rebase_interval_s * math.floor(
+            (rel_s - self._rebase_margin_s) / self._rebase_interval_s
+        )
+
+    def _apply_rebase(self, delta_s: float, win, fe_state):
+        """Shift every in-graph stamp by -delta_s (window keyframe stamps +
+        the frontend's last-keyframe stamp; both are only ever consumed as
+        differences, so a common shift is output-neutral — asserted by
+        tests/test_rebase.py)."""
+        d = jnp.float32(delta_s)
+        win = win.replace(stamp=win.stamp - d)
+        fe_state = fe_state.replace(lkf_stamp=fe_state.lkf_stamp - d)
+        self._n_rebases += 1
+        return win, fe_state
 
     def _note_backend_health(self, n_recovered: int):
         """Module-failure propagation (reference Pipeline.cpp:253-269 /
@@ -388,10 +464,10 @@ class StereoImuPipeline:
     def _refine_mesh(self, mesh, depth_img, pose_R, pose_t):
         """Depth-based mesh refinement (reference MeshOptimization.cpp):
         unique mesh vertices move along their camera rays to match the
-        dense depth image. Used by the RGB-D path."""
-        from kimera_vio_tpu.mesher.mesh_optimization import (
-            optimize_mesh_depths,
-        )
+        dense depth image. Used by the RGB-D path. The solver variant is
+        selected by --mesh_optimizer_type (reference MeshOptimizerType)."""
+        from kimera_vio_tpu.config import flags as _flags
+        from kimera_vio_tpu.mesher.mesh_optimization import optimize_mesh
 
         if mesh is None or mesh.n_triangles == 0:
             return mesh
@@ -409,7 +485,7 @@ class StereoImuPipeline:
         R_wc = pose_R @ C_R
         t_wc = pose_t + pose_R @ C_t
         verts_c = (verts_w - t_wc) @ R_wc
-        refined_c, _ = optimize_mesh_depths(
+        refined_c, _ = optimize_mesh(
             jnp.asarray(verts_c),
             jnp.asarray(tris),
             jnp.ones(len(tris), bool),
@@ -418,6 +494,7 @@ class StereoImuPipeline:
             float(np.asarray(self.stereo.fy)),
             float(np.asarray(self.stereo.cx)),
             float(np.asarray(self.stereo.cy)),
+            optimizer_type=int(_flags.get_flag("mesh_optimizer_type")),
         )
         refined_w = np.asarray(refined_c) @ R_wc.T + t_wc
         from kimera_vio_tpu.mesher.mesher import Mesh3D
@@ -895,7 +972,7 @@ class StereoImuPipeline:
         else:
             super_frames = C
 
-        def stage(batch):
+        def stage(batch, shift_ns=0):
             n_real = len(batch)
             n_pad = (-n_real) % C
             padded = batch + [batch[-1]] * n_pad
@@ -918,7 +995,7 @@ class StereoImuPipeline:
                 aux[i, B * 6 : B * 7] = np.asarray(blk.dt, np.float32)
                 if i < n_real:
                     aux[i, B * 7 : B * 8] = np.asarray(blk.mask, np.float32)
-                aux[i, B * 8] = (p["stamp_ns"] - t0_ns) * 1e-9
+                aux[i, B * 8] = (p["stamp_ns"] - t0_ns - shift_ns) * 1e-9
             enc = encode_delta4(imgs) if use_codec else None
             if enc is not None:
                 wire = (
@@ -945,11 +1022,22 @@ class StereoImuPipeline:
             rest[i : i + super_frames]
             for i in range(0, len(rest), super_frames)
         ]
+        # Long-mission f32 stamp rebase (see __init__): precompute the
+        # cumulative t0 shift per super-batch (a pure function of the
+        # stamps, so the stager thread and the dispatch loop agree without
+        # synchronization); the dispatch loops shift the device carry when
+        # they cross a super-batch whose shift advanced.
+        super_shift_ns = []
+        _tot_s = 0.0
+        for s_pk in supers:
+            _rel = (s_pk[0]["stamp_ns"] - t0_ns) * 1e-9 - _tot_s
+            _tot_s += self._rebase_delta_s(_rel)
+            super_shift_ns.append(int(round(_tot_s * 1e9)))
         staged: _q.Queue = _q.Queue(maxsize=2)
 
         def stager():
-            for c in supers:
-                staged.put((stage(c), len(c)))
+            for j, c in enumerate(supers):
+                staged.put((stage(c, super_shift_ns[j]), len(c), j))
             staged.put(None)
 
         th = threading.Thread(target=stager, daemon=True)
@@ -1014,6 +1102,11 @@ class StereoImuPipeline:
         # without feedback can drain on a worker thread.
         sync_aux = collect_aux and self.use_regular_vio
 
+        from kimera_vio_tpu.config import flags as _flags
+
+        log_fe_imgs = bool(_flags.get_flag("log_frontend_images"))
+        self._prev_kf_ids = None
+
         def feed_aux_chunk(chunk, host, win, lmk):
             """Keyframes of one drained chunk through the aux modules
             (mirrors run()'s feed_aux; chunk-lagged like its aux_lag)."""
@@ -1027,6 +1120,11 @@ class StereoImuPipeline:
                     if "right_path" in p
                     else left
                 )
+                if log_fe_imgs and "kp_uv" in fo_i:
+                    self._log_frontend_img(
+                        p["stamp_ns"], fo_i["kp_uv"], fo_i["kp_ids"],
+                        fo_i["kp_mask"], left,
+                    )
                 win = self._feed_aux_kf(
                     p["stamp_ns"], fo_i, left, right, win, lmk,
                     mesher, lcd_module,
@@ -1079,6 +1177,18 @@ class StereoImuPipeline:
                         else 0
                     )
 
+        _applied_shift_ns = 0
+
+        def apply_super_shift(j, win, fe_state):
+            """Rebase the device carry when super-batch j's stamps use an
+            advanced t0 (output-neutral; tests/test_rebase.py)."""
+            nonlocal _applied_shift_ns
+            if super_shift_ns[j] != _applied_shift_ns:
+                d = (super_shift_ns[j] - _applied_shift_ns) * 1e-9
+                win, fe_state = self._apply_rebase(d, win, fe_state)
+                _applied_shift_ns = super_shift_ns[j]
+            return win, fe_state
+
         if minimal:
             # Minimal outputs are (C,26) rows: keep them ON DEVICE during
             # the run and fetch everything in ONE end-of-run transfer —
@@ -1090,7 +1200,8 @@ class StereoImuPipeline:
                 item = staged.get()
                 if item is None:
                     break
-                payload, n_real = item
+                payload, n_real, j = item
+                win, fe_state = apply_super_shift(j, win, fe_state)
                 imgs_sb, aux_sb, B = materialize(payload)
                 n_inner = imgs_sb.shape[0] // C
                 for k in range(n_inner):
@@ -1120,7 +1231,8 @@ class StereoImuPipeline:
                 item = staged.get()
                 if item is None:
                     break
-                payload, n_real = item
+                payload, n_real, j = item
+                win, fe_state = apply_super_shift(j, win, fe_state)
                 imgs_sb, aux_sb, B = materialize(payload)
                 n_inner = imgs_sb.shape[0] // C
                 for k in range(n_inner):
@@ -1163,7 +1275,8 @@ class StereoImuPipeline:
             item = staged.get()
             if item is None:
                 break
-            payload, n_real = item
+            payload, n_real, j = item
+            win, fe_state = apply_super_shift(j, win, fe_state)
             imgs_sb, aux_sb, B = materialize(payload)
             n_inner = imgs_sb.shape[0] // C
             for k in range(n_inner):
@@ -1252,6 +1365,10 @@ class StereoImuPipeline:
         fe_state = None
         t0_ns = None
         pending_outs = []  # (stamp_ns, frame_out) futures, drained at end
+        from kimera_vio_tpu.config import flags as _flags
+
+        log_fe_imgs = bool(_flags.get_flag("log_frontend_images"))
+        self._prev_kf_ids = None
         initializer = None
         if (
             self.params.backend.auto_initialize == 2
@@ -1389,6 +1506,15 @@ class StereoImuPipeline:
             if t0_ns is None:
                 t0_ns = stamp_ns
             stamp_s = (stamp_ns - t0_ns) * 1e-9
+            if fe_state is not None:
+                # Long-mission f32 stamp rebase (see __init__). Cannot
+                # trigger during online initialization / time alignment
+                # (those finish within the first margin seconds).
+                _d = self._rebase_delta_s(stamp_s)
+                if _d > 0.0:
+                    t0_ns += int(round(_d * 1e9))
+                    stamp_s = (stamp_ns - t0_ns) * 1e-9
+                    win, fe_state = self._apply_rebase(_d, win, fe_state)
 
             if fe_state is None:
                 tic = time.perf_counter()
@@ -1502,6 +1628,11 @@ class StereoImuPipeline:
                             ),
                         )
             pending_outs.append((stamp_ns, frame_out))
+            if log_fe_imgs and bool(frame_out["is_keyframe"]):
+                self._log_frontend_img(
+                    stamp_ns, frame_out["kp_uv"], frame_out["kp_ids"],
+                    frame_out["kp_mask"], left,
+                )
             # Incremental drain (a lag behind the dispatch horizon) keeps
             # host+device memory bounded on long sequences instead of
             # retaining every frame's outputs until the end.
