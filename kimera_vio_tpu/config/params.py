@@ -472,6 +472,10 @@ class LcdParams(ParamsBase):
     nfeatures: int = 500
     scale_factor: float = 1.2
     nlevels: int = 8
+    # Extension knob (no reference analog — cv::ORB has no spatial
+    # suppression): minimum pixel spacing of the grid detector feeding the
+    # LCD's descriptor extraction.
+    min_distance: float = 12.0
     # PGO
     pgo_rot_threshold: float = 0.01
     pgo_trans_threshold: float = 0.1
@@ -508,6 +512,7 @@ class LcdParams(ParamsBase):
             "nfeatures": ("nfeatures", int),
             "scale_factor": ("scale_factor", float),
             "nlevels": ("nlevels", int),
+            "min_distance": ("min_distance", float),
             "pgo_rot_threshold": ("pgo_rot_threshold", float),
             "pgo_trans_threshold": ("pgo_trans_threshold", float),
             "gnc_alpha": ("gnc_alpha", float),

@@ -93,6 +93,10 @@ class FrontendConfig:
     # (reference extracts cv::ORB inside the LCD thread,
     # LoopClosureDetector.cpp:142-150).
     lcd_features: int = struct.field(pytree_node=False, default=0)
+    # Grid-detector spacing for the fused LCD extraction (from
+    # LcdParams.min_distance via the pipeline; reference drives its LCD
+    # ORB params from LcdParams the same way).
+    lcd_min_distance: float = struct.field(pytree_node=False, default=12.0)
     use_pallas_lk: bool = struct.field(pytree_node=False, default=False)
     # LK implementation: "matmul" (MXU window resampling — fastest on TPU),
     # "gather" (vmapped dynamic-slice), or "" to follow use_pallas_lk.
@@ -666,7 +670,7 @@ class StereoFrontend:
             jnp.zeros((8, 2), jnp.float32),
             jnp.zeros(8, bool),
             n,
-            min_distance=12.0,
+            min_distance=self.cfg.lcd_min_distance,
             do_subpixel=False,
         )
         desc, _, dok = orb_mod.orb_descriptors(left_rect, uv, ok)

@@ -71,11 +71,14 @@ class LcdConfig:
     gnc_alpha: float = 0.0  # 0 disables GNC (LoopClosureDetector.cpp:173-182)
     max_keyframes: int = 512
     n_features: int = 256
+    min_distance: float = 12.0  # grid-detector spacing for LCD features
 
     @classmethod
     def from_params(cls, p) -> "LcdConfig":
         """Build from a config.params.LcdParams (YAML tier)."""
         return cls(
+            n_features=int(getattr(p, "nfeatures", 256) or 256),
+            min_distance=float(getattr(p, "min_distance", 12.0)),
             use_nss=p.use_nss,
             alpha=p.alpha,
             min_nss_factor=p.min_nss_factor,

@@ -50,6 +50,9 @@ class LcdModule:
         if cfg is None and lcd_params is not None:
             cfg = LcdConfig.from_params(lcd_params)
         self.cfg = cfg or LcdConfig(n_features=n_features)
+        # Feature budget / spacing come from LcdParams via LcdConfig
+        # (reference drives cv::ORB nfeatures from the YAML the same way).
+        n_features = self.cfg.n_features
         if vocab_path == "default":
             # Production default: the packaged sequence-independent
             # codebook, so place recognition is live from keyframe 0.
@@ -86,7 +89,7 @@ class LcdModule:
                 jnp.zeros((8, 2), jnp.float32),
                 jnp.zeros(8, bool),
                 n_features,
-                min_distance=12.0,
+                min_distance=self.cfg.min_distance,
                 do_subpixel=False,
             )
         )

@@ -22,6 +22,14 @@ def main():
     ap.add_argument("--n-words", type=int, default=256)
     ap.add_argument("--stride", type=int, default=4)
     ap.add_argument("--max-frames", type=int, default=40)
+    ap.add_argument("--features", type=int, default=256,
+                    help="detector budget per frame")
+    ap.add_argument("--max-desc", type=int, default=0,
+                    help="subsample the training set to this many "
+                    "descriptors (0 = keep all)")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--use-right", action="store_true",
+                    help="also harvest descriptors from cam1")
     args = ap.parse_args()
 
     import jax
@@ -40,20 +48,34 @@ def main():
     prov = EurocDataProvider(args.dataset)
     descs, masks = [], []
     packets = list(prov.frames())[:: args.stride][: args.max_frames]
-    for p in packets:
-        img = jnp.asarray(prov.load_image(p["left_path"])).astype(jnp.float32)
+
+    def harvest(img_np):
+        img = jnp.asarray(img_np).astype(jnp.float32)
         uv, ok = det.detect_features(
-            img, jnp.zeros((8, 2), jnp.float32), jnp.zeros(8, bool), 256,
-            min_distance=12.0, do_subpixel=False,
+            img, jnp.zeros((8, 2), jnp.float32), jnp.zeros(8, bool),
+            args.features, min_distance=8.0, do_subpixel=False,
         )
         d, _, dok = orb_mod.orb_descriptors(img, uv, ok)
         descs.append(np.asarray(d))
         masks.append(np.asarray(dok))
+
+    for p in packets:
+        harvest(prov.load_image(p["left_path"]))
+        if args.use_right and "right_path" in p:
+            harvest(prov.load_image(p["right_path"]))
+    all_d = np.concatenate(descs)
+    all_m = np.concatenate(masks)
+    if args.max_desc and all_m.sum() > args.max_desc:
+        idx = np.flatnonzero(all_m)
+        keep = np.random.default_rng(0).choice(
+            idx, size=args.max_desc, replace=False
+        )
+        all_d, all_m = all_d[keep], all_m[keep]
     cb = train_vocabulary(
-        jnp.asarray(np.concatenate(descs)),
-        jnp.asarray(np.concatenate(masks)),
+        jnp.asarray(all_d),
+        jnp.asarray(all_m),
         n_words=args.n_words,
-        iters=8,
+        iters=args.iters,
     )
     BowVocabulary(cb).save(args.out)
     print(f"saved {args.out}: {args.n_words} words from "
