@@ -120,15 +120,19 @@ def fast_score(img: jax.Array, thresh: float = 10.0) -> jax.Array:
 
 
 def local_max_mask(resp: jax.Array, radius: int = 1) -> jax.Array:
-    """True where resp is the maximum of its (2r+1)^2 neighborhood."""
+    """True where resp is the maximum of its (2r+1)^2 neighborhood.
+
+    Max-pooling is separable: two 1-D reduce_windows instead of one 2-D
+    (the 2-D window costs O(size^2) per pixel; the pair O(size)) — matters
+    because the radius scales with min_distance (see detect_features)."""
     size = 2 * radius + 1
     m = jax.lax.reduce_window(
-        resp,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(size, size),
-        window_strides=(1, 1),
-        padding="SAME",
+        resp, -jnp.inf, jax.lax.max,
+        window_dimensions=(size, 1), window_strides=(1, 1), padding="SAME",
+    )
+    m = jax.lax.reduce_window(
+        m, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, size), window_strides=(1, 1), padding="SAME",
     )
     return resp >= m
 
@@ -345,7 +349,20 @@ def detect_features(
         raise NotImplementedError("AGAST detector is not supported")
     else:  # 3 = GFTT (default); Harris via flag, like the reference GFTT
         resp = gftt_response(img, block_size, use_harris, harris_k)
-    resp = jnp.where(local_max_mask(resp), resp, -jnp.inf)
+    # NMS radius scales with min_distance: cv::goodFeaturesToTrack enforces
+    # minDistance among SELECTED corners (greedily) and SSC enforces its
+    # adaptive radius; a (min_distance/2)-radius local-max pass is the
+    # fused-kernel equivalent, guaranteeing pairwise separation
+    # > min_distance/2 among new detections (measured vs the SSC contract
+    # in tests/test_anms_uniformity.py).
+    # (int() straight on min_distance: it may be a closed-over concrete
+    # jnp scalar — any jnp arithmetic on it first would create a tracer
+    # inside jit; plain int() of a constant stays host-side.)
+    resp = jnp.where(
+        local_max_mask(resp, radius=max(1, int(min_distance) // 2)),
+        resp,
+        -jnp.inf,
+    )
     # Quality threshold relative to the global max (cv::goodFeaturesToTrack).
     resp = jnp.where(resp >= quality_level * resp.max(), resp, -jnp.inf)
     resp = occupancy_suppression(resp, existing_uv, existing_mask, min_distance)
