@@ -91,6 +91,18 @@ define_int(
     "needed the failure-recovery path (reference is_backend_ok_ -> "
     "graceful shutdown, Pipeline.cpp:253-269)",
 )
+define_int(
+    "mesh_optimizer_type", 2,
+    "MeshOptimizerType for depth-based mesh refinement: 0 connected, "
+    "1 disconnected, 2 closed-form (default), 3 robust iterative "
+    "(reference mesh/MeshOptimization-definitions.h:25-29)",
+)
+define_bool(
+    "log_frontend_images", False,
+    "Dump per-keyframe feature-track overlay PNGs under "
+    "<output_path>/frontend_images (reference logFrontendImg / "
+    "--visualize_feature_tracks, StereoVisionImuFrontend.cpp:540,599)",
+)
 define_bool(
     "do_fine_imu_camera_temporal_sync", False,
     "Run the cross-correlation IMU-camera time aligner at mission start "

@@ -26,6 +26,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# MeshOptimizerType (reference mesh/MeshOptimization-definitions.h:25-29).
+# kConnectedMesh / kClosedForm both map to the joint linear solve below
+# (the joint system IS the closed form of the connected problem);
+# kDisconnectedMesh solves each triangle independently and averages
+# shared vertices; kGtsamMesh is the robust iterative mode (IRLS Huber +
+# connectivity regularization — the role of the reference's 773-line
+# GTSAM factor-graph path).
+K_CONNECTED_MESH = 0
+K_DISCONNECTED_MESH = 1
+K_CLOSED_FORM = 2
+K_GTSAM_MESH = 3
+
 
 def _bary_grid(n: int = 4) -> np.ndarray:
     """(S,3) barycentric lattice over the triangle (including interior)."""
@@ -131,3 +143,138 @@ def optimize_mesh_depths(
     )
     refined = vertices_cam * ratio[:, None]
     return refined, obs_count
+
+
+def _sample_setup(vertices_cam, tris, tri_mask, depth_img, fx, fy, cx, cy,
+                  bary_n, obs_sigma):
+    """Shared sampling stage: barycentric lattice projections + observed
+    depths + validity weights. Returns (bary, d_obs, valid, w, z0, safe_z)."""
+    H, W = depth_img.shape
+    bary = jnp.asarray(_bary_grid(bary_n))
+    z0 = vertices_cam[:, 2]
+    safe_z = jnp.where(jnp.abs(z0) < 1e-6, 1e-6, z0)
+    u = fx * vertices_cam[:, 0] / safe_z + cx
+    v = fy * vertices_cam[:, 1] / safe_z + cy
+    uv_v = jnp.stack([u, v], -1)
+    tri_uv = uv_v[tris]
+    sample_uv = jnp.einsum("si,tij->tsj", bary, tri_uv)
+    d_obs = _bilinear(depth_img, sample_uv)
+    inb = (
+        (sample_uv[..., 0] >= 0)
+        & (sample_uv[..., 0] < W)
+        & (sample_uv[..., 1] >= 0)
+        & (sample_uv[..., 1] < H)
+    )
+    valid = inb & jnp.isfinite(d_obs) & (d_obs > 1e-3) & tri_mask[:, None]
+    w = valid.astype(vertices_cam.dtype) / (obs_sigma**2)
+    return bary, jnp.where(valid, d_obs, 0.0), valid, w, z0, safe_z
+
+
+def optimize_mesh_depths_disconnected(
+    vertices_cam, tris, tri_mask, depth_img, fx, fy, cx, cy,
+    *, bary_n: int = 4, prior_sigma: float = 0.5, obs_sigma: float = 0.05,
+    max_rel_change: float = 0.5,
+):
+    """kDisconnectedMesh: each triangle solves its own 3x3 vertex-depth
+    least squares (no coupling through shared vertices); shared vertices
+    take the observation-weighted average of their per-triangle solutions
+    (reference MeshOptimization.cpp disconnected path)."""
+    V = vertices_cam.shape[0]
+    bary, d_obs, valid, w, z0, safe_z = _sample_setup(
+        vertices_cam, tris, tri_mask, depth_img, fx, fy, cx, cy,
+        bary_n, obs_sigma,
+    )
+    lam = 1.0 / (prior_sigma**2)
+    Ht = jnp.einsum("ts,si,sj->tij", w, bary, bary) + lam * jnp.eye(
+        3, dtype=vertices_cam.dtype
+    )
+    z0_tri = z0[tris]  # (T,3)
+    gt = jnp.einsum("ts,si,ts->ti", w, bary, d_obs) + lam * z0_tri
+    z_tri = jnp.linalg.solve(Ht, gt[..., None])[..., 0]  # (T,3)
+    # Observation-weighted average over the triangles sharing a vertex.
+    wt = valid.sum(-1).astype(vertices_cam.dtype)[:, None]  # (T,1)
+    num = jnp.zeros(V, vertices_cam.dtype).at[tris].add(z_tri * wt)
+    den = jnp.zeros(V, vertices_cam.dtype).at[tris].add(
+        jnp.broadcast_to(wt, z_tri.shape)
+    )
+    z_new = jnp.where(den > 0, num / jnp.maximum(den, 1e-9), z0)
+    ratio = jnp.clip(
+        z_new / safe_z, 1.0 - max_rel_change, 1.0 + max_rel_change
+    )
+    obs_count = jnp.zeros(V, jnp.int32).at[tris].add(
+        valid.sum(-1).astype(jnp.int32)[:, None]
+    )
+    return vertices_cam * ratio[:, None], obs_count
+
+
+def optimize_mesh_depths_robust(
+    vertices_cam, tris, tri_mask, depth_img, fx, fy, cx, cy,
+    *, bary_n: int = 4, prior_sigma: float = 0.5, obs_sigma: float = 0.05,
+    max_rel_change: float = 0.5, huber_k_m: float = 0.10,
+    smooth_sigma: float = 0.10, iters: int = 5,
+):
+    """kGtsamMesh-class refinement: IRLS with a Huber loss on the depth
+    residuals (robust to depth-image outliers) plus a connectivity
+    regularizer lam_s * (z_i - z_j)^2 on every triangle edge (the role of
+    the reference's GTSAM factor-graph mesh optimization,
+    mesh/MeshOptimization.cpp + definitions.h:25-29)."""
+    V = vertices_cam.shape[0]
+    bary, d_obs, valid, w0, z0, safe_z = _sample_setup(
+        vertices_cam, tris, tri_mask, depth_img, fx, fy, cx, cy,
+        bary_n, obs_sigma,
+    )
+    lam = 1.0 / (prior_sigma**2)
+    lam_s = 1.0 / (smooth_sigma**2)
+
+    # Edge list from triangle connectivity: (T,3,2) -> scatter Laplacian.
+    ei = jnp.stack([tris[:, 0], tris[:, 1], tris[:, 2]], -1).reshape(-1)
+    ej = jnp.stack([tris[:, 1], tris[:, 2], tris[:, 0]], -1).reshape(-1)
+    e_on = jnp.repeat(tri_mask.astype(vertices_cam.dtype), 3) * lam_s
+    H_lap = (
+        jnp.zeros((V, V), vertices_cam.dtype)
+        .at[ei, ei].add(e_on)
+        .at[ej, ej].add(e_on)
+        .at[ei, ej].add(-e_on)
+        .at[ej, ei].add(-e_on)
+    )
+
+    z = z0
+    for _ in range(iters):
+        # Residuals at the current depths -> Huber IRLS weights.
+        z_tri = z[tris]  # (T,3)
+        pred = jnp.einsum("si,ti->ts", bary, z_tri)  # (T,S)
+        r = jnp.abs(pred - d_obs)
+        w_h = jnp.minimum(1.0, huber_k_m / jnp.maximum(r, 1e-9))
+        w = w0 * jnp.where(valid, w_h, 0.0)
+        Ht = jnp.einsum("ts,si,sj->tij", w, bary, bary)
+        gt = jnp.einsum("ts,si,ts->ti", w, bary, d_obs)
+        Hm = jnp.zeros((V, V), vertices_cam.dtype)
+        Hm = Hm.at[tris[:, :, None], tris[:, None, :]].add(Ht)
+        gm = jnp.zeros((V,), vertices_cam.dtype).at[tris].add(gt)
+        Hm = Hm + lam * jnp.eye(V, dtype=Hm.dtype) + H_lap
+        gm = gm + lam * z0  # Laplacian target is relative (pulls zi==zj)
+        L = jnp.linalg.cholesky(Hm)
+        z = jax.scipy.linalg.cho_solve((L, True), gm)
+
+    ratio = jnp.clip(z / safe_z, 1.0 - max_rel_change, 1.0 + max_rel_change)
+    obs_count = jnp.zeros(V, jnp.int32).at[tris].add(
+        valid.sum(-1).astype(jnp.int32)[:, None]
+    )
+    return vertices_cam * ratio[:, None], obs_count
+
+
+def optimize_mesh(
+    vertices_cam, tris, tri_mask, depth_img, fx, fy, cx, cy,
+    optimizer_type: int = K_CLOSED_FORM, **kw,
+):
+    """MeshOptimizerType dispatcher (reference MeshOptimization ctor takes
+    the same enum, mesh/MeshOptimization.h:50)."""
+    if optimizer_type == K_DISCONNECTED_MESH:
+        fn = optimize_mesh_depths_disconnected
+    elif optimizer_type == K_GTSAM_MESH:
+        fn = optimize_mesh_depths_robust
+    else:  # kConnectedMesh / kClosedForm: the joint linear solve
+        fn = optimize_mesh_depths
+    return fn(
+        vertices_cam, tris, tri_mask, depth_img, fx, fy, cx, cy, **kw
+    )

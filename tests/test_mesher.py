@@ -137,6 +137,50 @@ class TestMeshOptimization:
         )
         assert int(np.asarray(n_obs).min()) > 0
 
+    def test_optimizer_variants(self):
+        """MeshOptimizerType parity (reference MeshOptimization-definitions
+        .h:25-29): disconnected roughly matches connected on clean data;
+        the robust iterative mode (kGtsamMesh role) beats the closed form
+        under depth-image outlier contamination."""
+        from kimera_vio_tpu.mesher.mesh_optimization import (
+            K_DISCONNECTED_MESH,
+            K_GTSAM_MESH,
+            optimize_mesh,
+            optimize_mesh_depths,
+        )
+
+        verts, tris, depth, z_gt, fx, fy, cx, cy = self._scene()
+        tri_mask = jnp.ones(tris.shape[0], bool)
+
+        # Clean data: disconnected ~ connected.
+        ref, _ = optimize_mesh_depths(
+            verts, tris, tri_mask, depth, fx, fy, cx, cy
+        )
+        dis, _ = optimize_mesh(
+            verts, tris, tri_mask, depth, fx, fy, cx, cy,
+            optimizer_type=K_DISCONNECTED_MESH,
+        )
+        err_ref = np.abs(np.asarray(ref)[:, 2] - z_gt).mean()
+        err_dis = np.abs(np.asarray(dis)[:, 2] - z_gt).mean()
+        assert err_dis < 3.0 * err_ref + 0.02, (err_dis, err_ref)
+
+        # Outlier-contaminated depth: 10% of pixels blown up.
+        rng = np.random.default_rng(3)
+        d = np.asarray(depth).copy()
+        mask = rng.random(d.shape) < 0.10
+        d[mask] = 25.0
+        d_bad = jnp.asarray(d)
+        cf, _ = optimize_mesh_depths(
+            verts, tris, tri_mask, d_bad, fx, fy, cx, cy
+        )
+        rob, _ = optimize_mesh(
+            verts, tris, tri_mask, d_bad, fx, fy, cx, cy,
+            optimizer_type=K_GTSAM_MESH,
+        )
+        err_cf = np.abs(np.asarray(cf)[:, 2] - z_gt).mean()
+        err_rob = np.abs(np.asarray(rob)[:, 2] - z_gt).mean()
+        assert err_rob < 0.6 * err_cf, (err_rob, err_cf)
+
     def test_unobserved_vertices_keep_prior(self):
         from kimera_vio_tpu.mesher.mesh_optimization import (
             optimize_mesh_depths,
