@@ -132,3 +132,44 @@ def test_playground(tmp_path):
         assert False, "MicroEuroc has no GT; should raise"
     except ValueError:
         pass
+
+
+def test_frontend_debug_imagery(tmp_path):
+    """--log_frontend_images writes per-keyframe feature-track overlay
+    PNGs (reference logFrontendImg, StereoVisionImuFrontend.cpp:540,599)."""
+    from kimera_vio_tpu.config import flags
+    from kimera_vio_tpu.dataprovider.synthetic import (
+        SyntheticStereoProvider,
+        synthetic_params,
+    )
+    from kimera_vio_tpu.pipeline.stereo_pipeline import StereoImuPipeline
+
+    params = synthetic_params(
+        width=160, height=120, fx=120.0, max_features=64, max_landmarks=64,
+        nr_states=5,
+    )
+    params.frontend.klt_max_level = 2
+    params.frontend.templ_cols = 31
+    params.frontend.templ_rows = 7
+    flags.set_flag("log_frontend_images", True)
+    try:
+        pipe = StereoImuPipeline(
+            params, output_path=str(tmp_path), parallel_run=False
+        )
+        prov = SyntheticStereoProvider(
+            n_frames=14, vx=0.5, width=160, height=120, fx=120.0
+        )
+        out = pipe.run(prov)
+    finally:
+        flags.set_flag("log_frontend_images", False)
+    pngs = sorted((tmp_path / "frontend_images").glob("*.png"))
+    # Every fused-step keyframe gets an overlay (bootstrap frame has none).
+    assert len(pngs) == out.n_keyframes - 1 >= 1
+    import cv2
+
+    vis = cv2.imread(str(pngs[0]))
+    assert vis.shape == (120, 160, 3)
+    # The overlay actually drew colored markers (not pure grayscale).
+    assert (vis[..., 0] != vis[..., 1]).any() or (
+        vis[..., 1] != vis[..., 2]
+    ).any()
