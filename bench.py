@@ -17,7 +17,7 @@ trajectory-statistics bands on MicroEuroc (no GT csv ships here — see
 BASELINE.md "Accuracy measurement status").
 
 Time budget: the whole script fits inside BENCH_BUDGET_S seconds (default
-540). Every leg after the mandatory warm-up checks the remaining budget
+900). Every leg after the mandatory warm-up checks the remaining budget
 and is skipped/shortened rather than overrunning; a SIGALRM failsafe
 prints whatever has been measured so far and exits 0 if anything hangs
 (round-3 postmortem: the driver's run hit its timeout with nothing
@@ -49,7 +49,12 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
 # Super-batch staging size: h2d bandwidth on the tunnel improves with
 # transfer size, so bigger super-batches can lift wall fps.
 SUPER_MB = int(os.environ.get("BENCH_SUPER_MB", "32"))
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+# 900 s default: measured on this box, a COLD warmup (compile) is ~705 s in
+# bad tunnel weather and a cache-hit warmup ~340 s; after warmup the
+# adaptive leg trimming needs ~90 s for wall reps + device passes. 540 s
+# produced value=0 runs (warmup never finished); 900+20 s watchdog stays
+# under the driver's kill timeout.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
 
 _T0 = time.monotonic()
 _RESULT = {

@@ -220,7 +220,11 @@ class FrontendParams(ParamsBase):
     # ANMS
     max_nr_keypoints_before_anms: int = 2000
     enable_non_max_suppression: bool = True
-    non_max_suppression_type: int = 6  # SSC in reference; binned top-k here
+    # AnmsAlgorithmType (NonMaximumSuppression.h:52-60): 0 TopN, 1 BrownANMS,
+    # 2 SDC, 3 KdTree, 4 RangeTree, 5 SSC, 6 Binning (the reference EuRoC
+    # default, FrontendParams.yaml:40). All seven dispatch in ops/anms.py /
+    # corner_detection.detect_features.
+    non_max_suppression_type: int = 6
     nr_horizontal_bins: int = 7
     nr_vertical_bins: int = 5
     # Subpixel refinement

@@ -83,6 +83,14 @@ class FrontendConfig:
     # (FAST detection + Harris ranking), 2 AGAST (unsupported, like the
     # reference which LOG(FATAL)s), 3 GFTT (the EuRoC default).
     detector_type: int = struct.field(pytree_node=False, default=3)
+    # ANMS algorithm (AnmsAlgorithmType, NonMaximumSuppression.h:52-60):
+    # 6 = binning (the reference FrontendParams.yaml:40 default — fused
+    # per-bin top-k here); 0-5 = TopN/BrownANMS/SDC/KdTree/RangeTree/SSC
+    # via ops/anms.py.
+    anms_type: int = struct.field(pytree_node=False, default=6)
+    max_nr_keypoints_before_anms: int = struct.field(
+        pytree_node=False, default=1024
+    )
     mono: bool = struct.field(pytree_node=False, default=False)
     rgbd: bool = struct.field(pytree_node=False, default=False)
     # LCD feature capacity: > 0 fuses the loop-closure front half
@@ -142,6 +150,19 @@ class FrontendConfig:
             nr_horizontal_bins=fp.nr_horizontal_bins,
             nr_vertical_bins=fp.nr_vertical_bins,
             detector_type=fp.feature_detector_type,
+            anms_type=(
+                fp.non_max_suppression_type
+                if fp.enable_non_max_suppression
+                else 0
+            ),
+            # Candidate-pool bound for the explicit ANMS algorithms; the
+            # reference detects up to this many before suppression
+            # (FrontendParams.yaml:38). Capped at 1024: the pairwise/greedy
+            # kernels are O(M^2)/O(M*G^2) and 1024 strongest candidates
+            # saturate a 480x752 frame's corner population anyway.
+            max_nr_keypoints_before_anms=min(
+                int(fp.max_nr_keypoints_before_anms), 1024
+            ),
             use_2point_mono=fp.ransac_use_2point_mono,
             use_1point_stereo=fp.ransac_use_1point_stereo,
             # NOTE equalize_image is consumed by the DATA PROVIDER
@@ -365,6 +386,8 @@ class StereoFrontend:
             nr_horizontal_bins=cfg.nr_horizontal_bins,
             nr_vertical_bins=cfg.nr_vertical_bins,
             do_subpixel=cfg.do_subpixel,
+            anms_type=cfg.anms_type,
+            max_nr_keypoints_before_anms=cfg.max_nr_keypoints_before_anms,
         )
         ids = jnp.where(valid, jnp.arange(cfg.max_features, dtype=jnp.int32), -1)
         uv_rect0, versors0 = self._rect_and_versors(uv)
@@ -754,6 +777,8 @@ class StereoFrontend:
                 nr_horizontal_bins=cfg.nr_horizontal_bins,
                 nr_vertical_bins=cfg.nr_vertical_bins,
                 do_subpixel=cfg.do_subpixel,
+                anms_type=cfg.anms_type,
+                max_nr_keypoints_before_anms=cfg.max_nr_keypoints_before_anms,
             )
             feats_full, next_id = self._merge_detections(
                 feats_inl, uv_new, new_valid, state.next_id
@@ -805,6 +830,8 @@ class StereoFrontend:
             nr_horizontal_bins=cfg.nr_horizontal_bins,
             nr_vertical_bins=cfg.nr_vertical_bins,
             do_subpixel=cfg.do_subpixel,
+            anms_type=cfg.anms_type,
+            max_nr_keypoints_before_anms=cfg.max_nr_keypoints_before_anms,
         )
         feats_full, next_id = self._merge_detections(
             feats_inl, uv_new, new_valid, state.next_id

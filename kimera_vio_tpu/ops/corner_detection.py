@@ -326,12 +326,22 @@ def detect_features(
     nr_vertical_bins: int = 5,
     do_subpixel: bool = True,
     subpix_window: int = 10,
+    anms_type: int = 6,
+    max_nr_keypoints_before_anms: int = 1024,
 ) -> tuple[jax.Array, jax.Array]:
     """Full detection pass: response -> NMS -> existing-feature suppression
-    -> quality threshold -> binned ANMS top-k -> subpixel refinement.
+    -> quality threshold -> ANMS -> subpixel refinement.
 
     Mirrors FeatureDetector::featureDetection (FeatureDetector.cpp:94-163).
     Returns (uv (k_new,2), valid (k_new,)). `k_new` is static.
+
+    `anms_type` selects the suppression algorithm (AnmsAlgorithmType,
+    NonMaximumSuppression.h:52-60): 6 = binning, the fused default — a
+    per-bin top-k directly on the dense response; 0-5 route through
+    ops/anms.py (TopN / BrownANMS / SDC / KdTree / RangeTree / SSC) over
+    the `max_nr_keypoints_before_anms` strongest candidates, matching the
+    reference's candidate-pool-then-suppress structure
+    (FeatureDetector.cpp:174-299).
     """
     img = img.astype(jnp.float32)
     if detector_type == 0:
@@ -349,26 +359,45 @@ def detect_features(
         raise NotImplementedError("AGAST detector is not supported")
     else:  # 3 = GFTT (default); Harris via flag, like the reference GFTT
         resp = gftt_response(img, block_size, use_harris, harris_k)
-    # NMS radius scales with min_distance: cv::goodFeaturesToTrack enforces
-    # minDistance among SELECTED corners (greedily) and SSC enforces its
-    # adaptive radius; a (min_distance/2)-radius local-max pass is the
-    # fused-kernel equivalent, guaranteeing pairwise separation
-    # > min_distance/2 among new detections (measured vs the SSC contract
-    # in tests/test_anms_uniformity.py).
+    # NMS radius: for the fused binning path it scales with min_distance —
+    # cv::goodFeaturesToTrack enforces minDistance among SELECTED corners
+    # (greedily) and SSC enforces its adaptive radius; a (min_distance/2)-
+    # radius local-max pass is the fused-kernel equivalent, guaranteeing
+    # pairwise separation > min_distance/2 among new detections (measured
+    # vs the SSC contract in tests/test_anms_uniformity.py). The explicit
+    # ANMS algorithms (types 0-5) do their own spatial suppression, so
+    # they get a plain radius-1 local max for the candidate pool.
     # (int() straight on min_distance: it may be a closed-over concrete
     # jnp scalar — any jnp arithmetic on it first would create a tracer
     # inside jit; plain int() of a constant stays host-side.)
-    resp = jnp.where(
-        local_max_mask(resp, radius=max(1, int(min_distance) // 2)),
-        resp,
-        -jnp.inf,
-    )
+    nms_radius = max(1, int(min_distance) // 2) if anms_type == 6 else 1
+    resp = jnp.where(local_max_mask(resp, radius=nms_radius), resp, -jnp.inf)
     # Quality threshold relative to the global max (cv::goodFeaturesToTrack).
     resp = jnp.where(resp >= quality_level * resp.max(), resp, -jnp.inf)
     resp = occupancy_suppression(resp, existing_uv, existing_mask, min_distance)
-    uv, score, valid = binned_topk_select(
-        resp, k_new, nr_horizontal_bins, nr_vertical_bins
-    )
+    if anms_type == 6:
+        uv, score, valid = binned_topk_select(
+            resp, k_new, nr_horizontal_bins, nr_vertical_bins
+        )
+    else:
+        from kimera_vio_tpu.ops import anms as anms_mod
+
+        H, W = resp.shape
+        m = min(max_nr_keypoints_before_anms, H * W)
+        cand_scores, flat = jax.lax.top_k(resp.reshape(-1), m)
+        cand_uv = jnp.stack(
+            [(flat % W).astype(jnp.float32), (flat // W).astype(jnp.float32)],
+            -1,
+        )
+        cand_ok = jnp.isfinite(cand_scores) & (cand_scores > 0)
+        keep = anms_mod.suppress_non_max(
+            cand_uv, cand_scores, cand_ok, k_new, anms_type, W, H
+        )
+        top_scores, sel = jax.lax.top_k(
+            jnp.where(keep, cand_scores, -jnp.inf), k_new
+        )
+        uv = cand_uv[sel]
+        valid = jnp.isfinite(top_scores) & (top_scores > 0)
     if do_subpixel:
         uv = subpixel_refine(img, uv, valid, window=subpix_window)
     return uv, valid

@@ -22,16 +22,23 @@ import jax.numpy as jnp
 from kimera_vio_tpu.loopclosure import orb as orb_mod
 from kimera_vio_tpu.loopclosure.frame_cache import FrameCache
 from kimera_vio_tpu.loopclosure.lcd import LcdConfig, LoopClosureDetector
-from kimera_vio_tpu.loopclosure.vocab import BowVocabulary, train_vocabulary
+from kimera_vio_tpu.loopclosure.vocab import (
+    BowVocabulary,
+    load_vocabulary,
+    train_vocabulary,
+)
 from kimera_vio_tpu.ops import corner_detection as det
 from kimera_vio_tpu.ops.stereo_matching import match_stereo
 
 
 class LcdModule:
-    #: packaged pretrained codebook (scripts/build_vocab.py output) — the
+    #: packaged pretrained vocabulary (scripts/build_vocab.py output) — the
     #: reference ships ORBvoc.yml the same way (LoopClosureDetector.cpp
-    #: loadOrbVocabulary).
-    DEFAULT_VOCAB = "bow_vocab_256.npz"
+    #: loadOrbVocabulary). Default is the hierarchical k^L tree (DBoW2
+    #: structure, 4096 leaves); the flat 256-word codebook remains as a
+    #: fallback artifact.
+    DEFAULT_VOCAB = "bow_vocab_tree_4096.npz"
+    FALLBACK_VOCAB = "bow_vocab_256.npz"
 
     def __init__(
         self,
@@ -55,11 +62,14 @@ class LcdModule:
         n_features = self.cfg.n_features
         if vocab_path == "default":
             # Production default: the packaged sequence-independent
-            # codebook, so place recognition is live from keyframe 0.
-            vocab_path = os.path.join(
+            # vocabulary, so place recognition is live from keyframe 0.
+            data_dir = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "data", self.DEFAULT_VOCAB,
+                "data",
             )
+            vocab_path = os.path.join(data_dir, self.DEFAULT_VOCAB)
+            if not os.path.exists(vocab_path):
+                vocab_path = os.path.join(data_dir, self.FALLBACK_VOCAB)
         if cache_dir is None:
             # Disk spill keeps verification working beyond the LRU RAM
             # bound on long missions (FrameCache.cpp:40-108).
@@ -79,7 +89,7 @@ class LcdModule:
             # recognition is active from the first keyframe, and the
             # codebook is sequence-independent.
             self.lcd = LoopClosureDetector(
-                BowVocabulary.load(vocab_path), self.cfg, self.stereo,
+                load_vocabulary(vocab_path), self.cfg, self.stereo,
                 cache=self.cache,
             )
 

@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--use-right", action="store_true",
                     help="also harvest descriptors from cam1")
+    ap.add_argument("--tree", action="store_true",
+                    help="train a hierarchical k^L tree (DBoW2 ORBvoc "
+                    "structure) instead of a flat codebook")
+    ap.add_argument("--branching", type=int, default=8,
+                    help="tree branching factor k")
+    ap.add_argument("--depth", type=int, default=4,
+                    help="tree depth L (n_words = k**L)")
     args = ap.parse_args()
 
     import jax
@@ -41,6 +48,9 @@ def main():
     from kimera_vio_tpu.loopclosure import orb as orb_mod
     from kimera_vio_tpu.loopclosure.vocab import (
         BowVocabulary,
+        HierarchicalBowVocabulary,
+        compute_idf,
+        train_hierarchical_vocabulary,
         train_vocabulary,
     )
     from kimera_vio_tpu.ops import corner_detection as det
@@ -71,14 +81,29 @@ def main():
             idx, size=args.max_desc, replace=False
         )
         all_d, all_m = all_d[keep], all_m[keep]
-    cb = train_vocabulary(
-        jnp.asarray(all_d),
-        jnp.asarray(all_m),
-        n_words=args.n_words,
-        iters=args.iters,
-    )
-    BowVocabulary(cb).save(args.out)
-    print(f"saved {args.out}: {args.n_words} words from "
+    if args.tree:
+        levels = train_hierarchical_vocabulary(
+            all_d, all_m,
+            k=args.branching, depth=args.depth, iters=args.iters,
+        )
+        vocab = HierarchicalBowVocabulary(levels)
+        # tf-idf weights from the training frames (DBoW2 TF_IDF default).
+        per_frame = [
+            vocab.words_np(d[m]) for d, m in zip(descs, masks) if m.any()
+        ]
+        vocab.idf = compute_idf(per_frame, vocab.n_words)
+        vocab.save(args.out)
+        n_words = vocab.n_words
+    else:
+        cb = train_vocabulary(
+            jnp.asarray(all_d),
+            jnp.asarray(all_m),
+            n_words=args.n_words,
+            iters=args.iters,
+        )
+        BowVocabulary(cb).save(args.out)
+        n_words = args.n_words
+    print(f"saved {args.out}: {n_words} words from "
           f"{sum(m.sum() for m in masks)} descriptors / {len(packets)} frames")
 
 
