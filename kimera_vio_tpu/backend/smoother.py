@@ -601,91 +601,126 @@ def _smart_factor_blocks(
     pts = jnp.where(safe[:, None], pts, fallback[None])
     ok = safe
 
-    # Residuals + ANALYTIC Jacobians, batched as (L,K,...) einsums (the
-    # autodiff version evaluated the residual 9x per observation):
+    # Residuals + ANALYTIC Jacobians:
     #   p_c = R_bc^T Exp(-dth) q - R_bc^T t_bc - R_bc^T Exp(-dth) R_wb^T dp,
     #   q = R_wb^T (p_w - p_wb)  =>  dp_c/dth = R_bc^T hat(q),
     #   dp_c/dp  = -R_wc^T,  dp_c/dpw = R_wc^T.
-    stereo_ok = jnp.isfinite(lmk.obs_uvd[..., 1])
-    obs_uvd_safe = lmk.obs_uvd.at[..., 1].set(
-        jnp.where(stereo_ok, lmk.obs_uvd[..., 1], lmk.obs_uvd[..., 0])
-    )
-    R_wc_T = jnp.swapaxes(R_w_cam, -1, -2)  # (K,3,3)
-    diff = pts[:, None, :] - win.pos[None, :, :]  # (L,K,3)
-    q = jnp.einsum("kji,lkj->lki", win.rot, diff)  # R_wb^T (p_w - p_wb)
-    pc = jnp.einsum("kji,lkj->lki", R_w_cam, pts[:, None, :] - t_w_cam[None])
-    z = pc[..., 2]
+    #
+    # TPU layout: every batched intermediate keeps (K, L) as its TRAILING
+    # two axes (L = max_landmarks is a lane multiple; K pads 25->32
+    # sublanes). The naive (L,K,3,3)/(L,K,3,6) layout tiles the tiny
+    # trailing dims to (8,128) — a ~100x padded-memory blowup that made
+    # this function ~2.2 ms of the 3.4 ms backend step; row/tangent axes
+    # in front keep the padding ~1.3x.
+    obs = jnp.transpose(lmk.obs_uvd, (2, 1, 0))  # (3,K,L) [uL,uR,v]
+    stereo_ok = jnp.isfinite(obs[1])  # (K,L)
+    obs_safe = obs.at[1].set(jnp.where(stereo_ok, obs[1], obs[0]))
+    ptsT = pts.T  # (3,L)
+    q = jnp.einsum(
+        "kji,jkl->ikl", win.rot, ptsT[:, None, :] - win.pos.T[:, :, None]
+    )  # (3,K,L)  R_wb^T (p_w - p_wb)
+    pc = jnp.einsum(
+        "kji,jkl->ikl", R_w_cam, ptsT[:, None, :] - t_w_cam.T[:, :, None]
+    )  # (3,K,L)
+    x, y, z = pc[0], pc[1], pc[2]
     safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / safe_z
     pred = jnp.stack(
         [
-            cfg.fx * pc[..., 0] / safe_z + cfg.cx,
-            cfg.fx * (pc[..., 0] - cfg.baseline) / safe_z + cfg.cx,
-            cfg.fy * pc[..., 1] / safe_z + cfg.cy,
-        ],
-        axis=-1,
-    )
-    r = (pred - obs_uvd_safe) / cfg.smart_noise_sigma  # (L,K,3)
-    # Projection Jacobian d[uL,uR,v]/dp_c: (L,K,3,3).
+            cfg.fx * x * iz + cfg.cx,
+            cfg.fx * (x - cfg.baseline) * iz + cfg.cx,
+            cfg.fy * y * iz + cfg.cy,
+        ]
+    )  # (3,K,L)
+    r = (pred - obs_safe) / cfg.smart_noise_sigma  # (3,K,L)
+    # Projection Jacobian d[uL,uR,v]/dp_c: (3,3,K,L), rows a, cols b.
     zeros = jnp.zeros_like(z)
-    iz = 1.0 / safe_z
     Jproj = jnp.stack(
         [
-            jnp.stack([cfg.fx * iz, zeros, -cfg.fx * pc[..., 0] * iz * iz], -1),
+            jnp.stack([cfg.fx * iz, zeros, -cfg.fx * x * iz * iz]),
             jnp.stack(
-                [cfg.fx * iz, zeros, -cfg.fx * (pc[..., 0] - cfg.baseline) * iz * iz],
-                -1,
+                [cfg.fx * iz, zeros, -cfg.fx * (x - cfg.baseline) * iz * iz]
             ),
-            jnp.stack([cfg.fy * iz, zeros, zeros], -1)
-            .at[..., 1]
-            .set(cfg.fy * iz)
-            .at[..., 0]
-            .set(0.0)
-            .at[..., 2]
-            .set(-cfg.fy * pc[..., 1] * iz * iz),
-        ],
-        axis=-2,
+            jnp.stack([zeros, cfg.fy * iz, -cfg.fy * y * iz * iz]),
+        ]
     ) / cfg.smart_noise_sigma
-    # dp_c/dth = R_bc^T hat(q): (L,K,3,3)
-    dpc_dth = jnp.einsum("ji,lkjm->lkim", cfg.R_b_cam, geo.hat(q))
-    # dp_c/dp = -R_wc^T (broadcast over L); dp_c/dpw = +R_wc^T.
-    J_th = jnp.einsum("lkab,lkbm->lkam", Jproj, dpc_dth)
-    J_p = -jnp.einsum("lkab,kbm->lkam", Jproj, R_wc_T)
-    F = jnp.concatenate([J_th, J_p], axis=-1)  # (L,K,3,6)
-    E = jnp.einsum("lkab,kbm->lkam", Jproj, R_wc_T)  # (L,K,3,3)
-    # r: (L,K,3), F: (L,K,3,6), E: (L,K,3,3)
-    row_ok = stereo_ok[..., None].astype(r.dtype) * jnp.ones((1, 1, 3), r.dtype)
-    row_ok = row_ok.at[..., 0].set(1.0).at[..., 2].set(1.0)
+    # hat(q): (3,3,K,L).
+    q0, q1, q2 = q[0], q[1], q[2]
+    hatq = jnp.stack(
+        [
+            jnp.stack([zeros, -q2, q1]),
+            jnp.stack([q2, zeros, -q0]),
+            jnp.stack([-q1, q0, zeros]),
+        ]
+    )
+    # dp_c/dth = R_bc^T hat(q): (3,3,K,L).
+    dpc_dth = jnp.einsum("jb,jmkl->bmkl", cfg.R_b_cam, hatq)
+    J_th = jnp.einsum("abkl,bmkl->amkl", Jproj, dpc_dth)  # (3,3,K,L)
+    # dp_c/dpw = +R_wc^T (E); dp_c/dp = -R_wc^T = -E.
+    E = jnp.einsum("abkl,kbm->amkl", Jproj, jnp.swapaxes(R_w_cam, -1, -2))
+    F = jnp.concatenate([J_th, -E], axis=1)  # (3,6,K,L)
+    # Mono rows (NaN uR): kill the uR residual row.
+    row_ok = jnp.stack(
+        [jnp.ones_like(stereo_ok), stereo_ok, jnp.ones_like(stereo_ok)]
+    ).astype(r.dtype)  # (3,K,L)
     r = r * row_ok
-    F = F * row_ok[..., None]
-    E = E * row_ok[..., None]
+    F = F * row_ok[:, None]
+    E = E * row_ok[:, None]
 
     # Robust m-estimator weights on the whitened 3-vector residual norm:
     # stereo observations use the stereo norm config, mono rows (NaN uR)
     # the mono norm config (BackendParams mono/stereoNormType/Param).
-    rn = jnp.linalg.norm(r, axis=-1)
+    rn = jnp.linalg.norm(r, axis=0)  # (K,L)
     ntype = jnp.where(stereo_ok, cfg.stereo_norm_type, cfg.mono_norm_type)
     nparam = jnp.where(stereo_ok, cfg.stereo_norm_param, cfg.mono_norm_param)
     hw = robust_weight(rn, ntype, nparam)
-    w = obs_mask & ok[:, None]
-    sw = jnp.sqrt(hw) * w.astype(r.dtype)  # (L,K)
-    r = r * sw[..., None]
-    F = F * sw[..., None, None]
-    E = E * sw[..., None, None]
+    w = obs_mask.T & ok[None, :]  # (K,L)
+    sw = jnp.sqrt(hw) * w.astype(r.dtype)  # (K,L)
+    r = r * sw
+    F = F * sw
+    E = E * sw
 
     # Schur complement per landmark.
-    Hll = jnp.einsum("lkai,lkaj->lij", E, E) + 1e-6 * jnp.eye(3, dtype=r.dtype)
-    Hll_inv = jnp.linalg.inv(Hll)
-    Hpl = jnp.einsum("lkai,lkaj->lkij", F, E)  # (L,K,6,3)
-    gl = jnp.einsum("lkai,lka->li", E, r)  # (L,3)
+    Hll = jnp.einsum("aikl,ajkl->ijl", E, E) + 1e-6 * jnp.eye(
+        3, dtype=r.dtype
+    ).reshape(3, 3, 1)  # (3,3,L)
+    # Closed-form symmetric 3x3 inverse (adjugate), batched over trailing L
+    # (jnp.linalg.inv would force an (L,3,3) layout back in; the reference
+    # hand-unrolls its 3x3 inverses the same way, Tracker.cpp:497-542).
+    # Trace-normalize first so the f32 cofactors stay near unit magnitude.
+    s_ = jnp.maximum((Hll[0, 0] + Hll[1, 1] + Hll[2, 2]) / 3.0, 1e-9)
+    Hll_n = Hll / s_
+    a_, b_, c_ = Hll_n[0, 0], Hll_n[0, 1], Hll_n[0, 2]
+    d_, e_, f_ = Hll_n[1, 1], Hll_n[1, 2], Hll_n[2, 2]
+    c00 = d_ * f_ - e_ * e_
+    c01 = c_ * e_ - b_ * f_
+    c02 = b_ * e_ - c_ * d_
+    c11 = a_ * f_ - c_ * c_
+    c12 = b_ * c_ - a_ * e_
+    c22 = a_ * d_ - b_ * b_
+    det = a_ * c00 + b_ * c01 + c_ * c02
+    idet = 1.0 / det
+    Hll_inv = (
+        jnp.stack(
+            [
+                jnp.stack([c00, c01, c02]),
+                jnp.stack([c01, c11, c12]),
+                jnp.stack([c02, c12, c22]),
+            ]
+        )
+        * (idet / s_)
+    )  # (3,3,L)
+    Hpl = jnp.einsum("aikl,ajkl->ijkl", F, E)  # (6,3,K,L)
+    gl = jnp.einsum("aikl,akl->il", E, r)  # (3,L)
 
     # Pose-pose contributions.
-    H_diag = jnp.einsum("lkai,lkaj->kij", F, F)  # (K,6,6) diagonal part
-    T = jnp.einsum("lkij,ljm->lkim", Hpl, Hll_inv)  # (L,K,6,3)
-    H_schur = jnp.einsum("lkim,lqjm->kiqj", T, Hpl)  # (K,6,K,6)
-    H_pose = -jnp.transpose(H_schur, (0, 1, 2, 3))
+    H_diag = jnp.einsum("aikl,ajkl->kij", F, F)  # (K,6,6) diagonal part
+    T = jnp.einsum("ijkl,jml->imkl", Hpl, Hll_inv)  # (6,3,K,L)
+    H_schur = jnp.einsum("imkl,jmql->kiqj", T, Hpl)  # (K,6,K,6)
+    H_pose = -H_schur
     H_pose = H_pose.at[jnp.arange(K), :, jnp.arange(K), :].add(H_diag)
-    g_pose = jnp.einsum("lkai,lka->ki", F, r) - jnp.einsum(
-        "lkim,lm->ki", T, gl
+    g_pose = jnp.einsum("aikl,akl->ki", F, r) - jnp.einsum(
+        "imkl,ml->ki", T, gl
     )
     return H_pose, g_pose, pts, ok
 

@@ -13,12 +13,67 @@ degeneracy checks the reference configures:
   * landmarkDistanceThreshold -> distance from the newest camera,
   * outlierRejection -> mean reprojection error after triangulation,
   * cheirality -> positive depth in every observing camera.
+
+TPU layout: every batched intermediate keeps (K, L) as its trailing two
+axes (L = max_landmarks is a lane multiple) and all 3x3-per-landmark
+linear algebra (normal-equation solve, smallest eigenvalue, GN polish
+Hessian) is closed-form over component planes -- no batched LU/eigh and
+no (L,K,3,3) tensors whose tiny trailing dims tile to (8,128) with ~100x
+padding. Measured on TPU v5e: 1.39 ms -> see ROADMAP (round 4).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _sym3_inv_apply(a, b, c, d, e, f, g0, g1, g2, jitter=0.0):
+    """x = A^{-1} g for symmetric A = [[a,b,c],[b,d,e],[c,e,f]] (+ jitter*I),
+    elementwise over arbitrary batch shapes (adjugate form; the reference
+    hand-unrolls its 3x3 inverses the same way, Tracker.cpp:497-542)."""
+    a = a + jitter
+    d = d + jitter
+    f = f + jitter
+    # Trace-normalize so f32 cofactors stay near unit magnitude.
+    s = jnp.maximum((a + d + f) / 3.0, 1e-12)
+    a, b, c, d, e, f = a / s, b / s, c / s, d / s, e / s, f / s
+    c00 = d * f - e * e
+    c01 = c * e - b * f
+    c02 = b * e - c * d
+    c11 = a * f - c * c
+    c12 = b * c - a * e
+    c22 = a * d - b * b
+    det = a * c00 + b * c01 + c * c02
+    k = 1.0 / (det * s)
+    x0 = (c00 * g0 + c01 * g1 + c02 * g2) * k
+    x1 = (c01 * g0 + c11 * g1 + c12 * g2) * k
+    x2 = (c02 * g0 + c12 * g1 + c22 * g2) * k
+    return x0, x1, x2
+
+
+def _sym3_min_eig(a, b, c, d, e, f):
+    """Smallest eigenvalue of symmetric [[a,b,c],[b,d,e],[c,e,f]],
+    elementwise (trigonometric/Cardano method for 3x3 symmetric)."""
+    p1 = b * b + c * c + e * e
+    q = (a + d + f) / 3.0
+    p2 = (a - q) ** 2 + (d - q) ** 2 + (f - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 0.0) / 6.0)
+    ps = jnp.where(p < 1e-12, 1.0, p)  # A ~ q*I: all eigs = q
+    b00 = (a - q) / ps
+    b11 = (d - q) / ps
+    b22 = (f - q) / ps
+    b01, b02, b12 = b / ps, c / ps, e / ps
+    detB = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # Smallest eigenvalue: q + 2 p cos(phi + 2*pi/3).
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    return jnp.where(p < 1e-12, q, lam_min)
 
 
 def triangulate_rays(
@@ -30,7 +85,7 @@ def triangulate_rays(
 
     Solves  [sum_m (I - d d^T)] p = sum_m (I - d d^T) o.
     Returns (point (...,3), ok (...,), min_eig (...,)) where min_eig is the
-    smallest eigenvalue of the (trace-normalized) normal matrix — the rank /
+    smallest eigenvalue of the (count-normalized) normal matrix — the rank /
     parallax measure used for the rankTolerance gate."""
     w = mask.astype(origins.dtype)[..., None, None]
     eye = jnp.eye(3, dtype=origins.dtype)
@@ -73,99 +128,134 @@ def triangulate_stereo_landmarks(
     camera center, right pinhole at center + baseline * cam_x_axis).
     """
     L, K, _ = obs_uvd.shape
-    uL, uR, v = obs_uvd[..., 0], obs_uvd[..., 1], obs_uvd[..., 2]
+    dt = R_w_cam.dtype
+    obs = jnp.transpose(obs_uvd, (2, 1, 0))  # (3,K,L)
+    uL, uR, v = obs[0], obs[1], obs[2]
     # Mono measurements carry uR = NaN (reference convention,
     # MonoVisionImuFrontend.cpp:230-340): their right ray is masked out and
     # the NaN replaced to keep arithmetic clean.
-    stereo_ok = jnp.isfinite(uR)
+    stereo_ok = jnp.isfinite(uR)  # (K,L)
     uR = jnp.where(stereo_ok, uR, uL)
+    m_kl = obs_mask.T  # (K,L)
+    wL = m_kl.astype(dt)
+    wR = (m_kl & stereo_ok).astype(dt)
 
-    # Ray directions in the rectified camera frame.
-    def cam_ray(u, vv):
+    # Ray directions in the rectified camera frame -> world, (3,K,L).
+    def world_ray(u, vv):
         x = (u - cx) / fx
         y = (vv - cy) / fy
-        d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
-        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.stack([x, y, jnp.ones_like(x)])  # (3,K,L)
+        d = d / jnp.linalg.norm(d, axis=0)
+        return jnp.einsum("kij,jkl->ikl", R_w_cam, d)
 
-    d_left = cam_ray(uL, v)  # (L,K,3)
-    d_right = cam_ray(uR, v)
-    # To world.
-    dw_left = jnp.einsum("kij,lkj->lki", R_w_cam, d_left)
-    dw_right = jnp.einsum("kij,lkj->lki", R_w_cam, d_right)
-    right_center = t_w_cam + baseline * R_w_cam[:, :, 0]  # +x axis
-    o_left = jnp.broadcast_to(t_w_cam[None], (L, K, 3))
-    o_right = jnp.broadcast_to(right_center[None], (L, K, 3))
+    dL = world_ray(uL, v)
+    dR = world_ray(uR, v)
+    oL = t_w_cam.T  # (3,K)
+    oR = (t_w_cam + baseline * R_w_cam[:, :, 0]).T  # right center, (3,K)
 
-    origins = jnp.concatenate([o_left, o_right], axis=1)  # (L, 2K, 3)
-    dirs = jnp.concatenate([dw_left, dw_right], axis=1)
-    mask2 = jnp.concatenate([obs_mask, obs_mask & stereo_ok], axis=1)
+    # Normal equations sum_rays w (I - d d^T) p = sum_rays w (I - d d^T) o,
+    # accumulated as six symmetric components (L,) + rhs (3,L) -- all
+    # reductions over elementwise (K,L) planes.
+    def accumulate(d, o, w):
+        d0, d1, d2 = d[0], d[1], d[2]
+        a = (w * (1.0 - d0 * d0)).sum(0)
+        b = (w * (-d0 * d1)).sum(0)
+        c = (w * (-d0 * d2)).sum(0)
+        dd = (w * (1.0 - d1 * d1)).sum(0)
+        e = (w * (-d1 * d2)).sum(0)
+        f = (w * (1.0 - d2 * d2)).sum(0)
+        dot = d0 * o[0][:, None] + d1 * o[1][:, None] + d2 * o[2][:, None]
+        g0 = (w * (o[0][:, None] - d0 * dot)).sum(0)
+        g1 = (w * (o[1][:, None] - d1 * dot)).sum(0)
+        g2 = (w * (o[2][:, None] - d2 * dot)).sum(0)
+        return jnp.stack([a, b, c, dd, e, f]), jnp.stack([g0, g1, g2])
 
-    p, ok, min_eig = triangulate_rays(origins, dirs, mask2)
+    AL, gLh = accumulate(dL, oL, wL)
+    AR, gRh = accumulate(dR, oR, wR)
+    A = AL + AR  # (6,L) symmetric components [a,b,c,d,e,f]
+    gh = gLh + gRh  # (3,L)
+    n_obs2 = wL.sum(0) + wR.sum(0)
+    p0, p1, p2 = _sym3_inv_apply(
+        A[0], A[1], A[2], A[3], A[4], A[5], gh[0], gh[1], gh[2], jitter=1e-9
+    )
+    p = jnp.stack([p0, p1, p2])  # (3,L) world points
+    min_eig = _sym3_min_eig(
+        A[0] + 1e-9, A[1], A[2], A[3] + 1e-9, A[4], A[5] + 1e-9
+    ) / jnp.maximum(n_obs2, 1.0)
+    ok = n_obs2 >= 2  # ray count: one stereo obs (2 rays) suffices
+
+    # Reprojection in trailing-(K,L) layout: returns pred (3,K,L), depth and
+    # the camera-frame point (3,K,L) for the Jacobian.
+    def reproject(pts):  # pts (3,L)
+        pc = jnp.einsum(
+            "kji,jkl->ikl", R_w_cam, pts[:, None, :] - t_w_cam.T[:, :, None]
+        )
+        z = pc[2]
+        safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        iz = 1.0 / safe_z
+        pred = jnp.stack(
+            [
+                fx * pc[0] * iz + cx,
+                fx * (pc[0] - baseline) * iz + cx,
+                fy * pc[1] * iz + cy,
+            ]
+        )
+        return pred, z, pc, iz
+
+    meas = obs.at[1].set(uR)  # (3,K,L), mono uR replaced by uL
 
     # --- Gauss-Newton polish on stereo reprojection error ------------------
-    def reproject(pts):
-        # (L,3) world points -> (L,K,3) predicted [uL,uR,v] + depth
-        pc = jnp.einsum("kji,lkj->lki", R_w_cam, pts[:, None] - t_w_cam[None])
-        z = pc[..., 2]
-        safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-        puL = fx * pc[..., 0] / safe_z + cx
-        puR = fx * (pc[..., 0] - baseline) / safe_z + cx
-        pv = fy * pc[..., 1] / safe_z + cy
-        return jnp.stack([puL, puR, pv], axis=-1), z
+    # Analytic point Jacobian: dr[a]/dp_w = Jproj[a,b] (R_w_cam^T)[b,m]
+    # (the E-matrix of the smart-factor linearization, unscaled).
+    R_wc_T = jnp.swapaxes(R_w_cam, -1, -2)
+    row_w = jnp.stack([wL, wR * stereo_ok.astype(dt), wL])  # (3,K,L)
 
-    def gn_step(pts, _):
-        def point_residual(pt, Rk, tk, meas):
-            pc = Rk.T @ (pt - tk)
-            z = jnp.where(jnp.abs(pc[2]) < 1e-6, 1e-6, pc[2])
-            pred = jnp.stack(
-                [
-                    fx * pc[0] / z + cx,
-                    fx * (pc[0] - baseline) / z + cx,
-                    fy * pc[1] / z + cy,
-                ]
-            )
-            return pred - meas
-
-        def one(pt, uvd_l, m_l):
-            fin = jnp.isfinite(uvd_l[:, 1])
-            uvd_safe = uvd_l.at[:, 1].set(jnp.where(fin, uvd_l[:, 1], uvd_l[:, 0]))
-
-            def res_all(p):
-                r = jax.vmap(point_residual, in_axes=(None, 0, 0, 0))(
-                    p, R_w_cam, t_w_cam, uvd_safe
-                )  # (K,3)
-                r = r.at[:, 1].set(jnp.where(fin, r[:, 1], 0.0))
-                return jnp.where(m_l[:, None], r, 0.0).reshape(-1)
-
-            r = res_all(pt)
-            J = jax.jacfwd(res_all)(pt)  # (3K, 3)
-            H = J.T @ J + 1e-6 * jnp.eye(3, dtype=pt.dtype)
-            g = J.T @ r
-            return pt - jnp.linalg.solve(H, g)
-
-        return jax.vmap(one)(pts, obs_uvd, obs_mask), None
-
-    if refine_iters > 0:
-        p, _ = jax.lax.scan(gn_step, p, None, length=refine_iters)
+    for _ in range(refine_iters):
+        pred, _, pc, iz = reproject(p)
+        r = (pred - meas) * row_w  # (3,K,L)
+        zeros = jnp.zeros_like(iz)
+        Jproj = jnp.stack(
+            [
+                jnp.stack([fx * iz, zeros, -fx * pc[0] * iz * iz]),
+                jnp.stack([fx * iz, zeros, -fx * (pc[0] - baseline) * iz * iz]),
+                jnp.stack([zeros, fy * iz, -fy * pc[1] * iz * iz]),
+            ]
+        )  # (3,3,K,L)
+        E = jnp.einsum("abkl,kbm->amkl", Jproj, R_wc_T) * row_w[:, None]
+        # H = sum_{a,k} E E^T (six components), g = sum E r.
+        Ha = (E[:, 0] * E[:, 0]).sum((0, 1))
+        Hb = (E[:, 0] * E[:, 1]).sum((0, 1))
+        Hc = (E[:, 0] * E[:, 2]).sum((0, 1))
+        Hd = (E[:, 1] * E[:, 1]).sum((0, 1))
+        He = (E[:, 1] * E[:, 2]).sum((0, 1))
+        Hf = (E[:, 2] * E[:, 2]).sum((0, 1))
+        g0 = (E[:, 0] * r).sum((0, 1))
+        g1 = (E[:, 1] * r).sum((0, 1))
+        g2 = (E[:, 2] * r).sum((0, 1))
+        s0, s1, s2 = _sym3_inv_apply(
+            Ha, Hb, Hc, Hd, He, Hf, g0, g1, g2, jitter=1e-6
+        )
+        p = p - jnp.stack([s0, s1, s2])
 
     # --- degeneracy / outlier gates ----------------------------------------
-    pred, depth = reproject(p)
-    diff = pred - obs_uvd
-    diff = diff.at[..., 1].set(jnp.where(stereo_ok, diff[..., 1], 0.0))
-    err = jnp.linalg.norm(diff, axis=-1)
-    err = jnp.where(obs_mask, err, 0.0)
-    n_obs = jnp.maximum(obs_mask.sum(-1), 1)
-    mean_err = err.sum(-1) / n_obs
-    cheirality_ok = jnp.all(jnp.where(obs_mask, depth > 0.05, True), axis=-1)
+    pred, depth, _, _ = reproject(p)
+    diff = pred - meas
+    diff = diff.at[1].set(jnp.where(stereo_ok, diff[1], 0.0))
+    err = jnp.linalg.norm(diff, axis=0)  # (K,L)
+    err = jnp.where(m_kl, err, 0.0)
+    n_obs = jnp.maximum(m_kl.sum(0), 1)
+    mean_err = err.sum(0) / n_obs  # (L,)
+    cheirality_ok = jnp.all(jnp.where(m_kl, depth > 0.05, True), axis=0)
     # Distance from the newest observing camera.
     t_new = t_w_cam[newest_idx]
-    dist = jnp.linalg.norm(p - t_new[None], axis=-1)
+    dist = jnp.linalg.norm(p - t_new[:, None], axis=0)
+    pT = p.T  # (L,3)
     valid = (
         ok
         & cheirality_ok
         & (mean_err < outlier_rejection_px)
         & (dist < landmark_distance_threshold)
         & (min_eig > 1e-5 * rank_tolerance)
-        & jnp.all(jnp.isfinite(p), axis=-1)
+        & jnp.all(jnp.isfinite(pT), axis=-1)
     )
-    return p, valid, mean_err
+    return pT, valid, mean_err
