@@ -54,7 +54,12 @@ def _sym3_inv_apply(a, b, c, d, e, f, g0, g1, g2, jitter=0.0):
 
 def _sym3_min_eig(a, b, c, d, e, f):
     """Smallest eigenvalue of symmetric [[a,b,c],[b,d,e],[c,e,f]],
-    elementwise (trigonometric/Cardano method for 3x3 symmetric)."""
+    elementwise (trigonometric/Cardano method for 3x3 symmetric, scale-
+    normalized, plus one Newton step on the characteristic polynomial --
+    raw f32 Cardano loses up to ~1e-4 * tr under high anisotropy)."""
+    # Normalize scale so the cubic's coefficients are O(1) in f32.
+    sc = jnp.maximum((jnp.abs(a) + jnp.abs(d) + jnp.abs(f)) / 3.0, 1e-30)
+    a, b, c, d, e, f = a / sc, b / sc, c / sc, d / sc, e / sc, f / sc
     p1 = b * b + c * c + e * e
     q = (a + d + f) / 3.0
     p2 = (a - q) ** 2 + (d - q) ** 2 + (f - q) ** 2 + 2.0 * p1
@@ -72,8 +77,20 @@ def _sym3_min_eig(a, b, c, d, e, f):
     r = jnp.clip(detB / 2.0, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     # Smallest eigenvalue: q + 2 p cos(phi + 2*pi/3).
-    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
-    return jnp.where(p < 1e-12, q, lam_min)
+    lam = jnp.where(p < 1e-12, q, q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0))
+    # One Newton step on det(A - lam I) = -lam^3 + tr lam^2 - m2 lam + det.
+    tr = a + d + f
+    m2 = (d * f - e * e) + (a * f - c * c) + (a * d - b * b)
+    det = (
+        a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)
+    )
+    fv = -lam * lam * lam + tr * lam * lam - m2 * lam + det
+    fp = -3.0 * lam * lam + 2.0 * tr * lam - m2
+    # Clamp to the scale of Cardano's f32 error: near a double eigenvalue
+    # f' ~ 0 and an unclamped step diverges.
+    step = jnp.clip(fv / jnp.where(jnp.abs(fp) < 1e-12, 1.0, fp), -1e-3, 1e-3)
+    lam = lam - step
+    return lam * sc
 
 
 def triangulate_rays(

@@ -36,7 +36,9 @@ class LcdModule:
     #: reference ships ORBvoc.yml the same way (LoopClosureDetector.cpp
     #: loadOrbVocabulary). Default is the hierarchical k^L tree (DBoW2
     #: structure, 4096 leaves); the flat 256-word codebook remains as a
-    #: fallback artifact.
+    #: fallback artifact. A 32768-leaf tree (bow_vocab_tree_32768.npz) is
+    #: also packaged for large real-world maps — measured slightly worse
+    #: on the 300-kf synthetic harness (ROADMAP round 4), so not default.
     DEFAULT_VOCAB = "bow_vocab_tree_4096.npz"
     FALLBACK_VOCAB = "bow_vocab_256.npz"
 
