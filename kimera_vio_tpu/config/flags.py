@@ -108,3 +108,20 @@ define_bool(
     "Run the cross-correlation IMU-camera time aligner at mission start "
     "(reference VisionImuFrontend InitialTimeAlignment state)",
 )
+define_bool(
+    "use_dense_depth_mesh_refinement", False,
+    "On stereo keyframes, compute a dense block-matching depth image "
+    "(ops/stereo_matching.dense_depth — the reference's "
+    "denseStereoReconstruction role, StereoMatcher.cpp:32-121) and "
+    "refine the mesher's 3D mesh against it (MeshOptimization.cpp). "
+    "RGB-D pipelines refine against the sensor depth instead.",
+)
+define_int(
+    "dense_stereo_num_disparities", 64,
+    "Dense block matcher disparity range (reference "
+    "DenseStereoParams::num_disparities_)",
+)
+define_int(
+    "dense_stereo_block_size", 9,
+    "Dense block matcher SAD window (reference sad_window_size_)",
+)

@@ -176,6 +176,10 @@ def dense_stereo(
     block_size: int = 9,
     uniqueness_ratio: float = 1.05,
     subpixel: bool = True,
+    lr_check: bool = False,
+    lr_max_diff: float = 1.0,
+    prefilter_xsobel: bool = False,
+    prefilter_cap: float = 31.0,
 ):
     """Dense block-matching disparity map — the role of the reference's
     StereoBM/SGBM passthrough (StereoMatcher::denseStereoReconstruction,
@@ -185,12 +189,32 @@ def dense_stereo(
     argmin + OpenCV-style uniqueness (second-best excludes the +-1
     neighborhood of the winner) + 3-tap parabola subpixel refinement.
 
+    `prefilter_xsobel=True` matches on the clamped horizontal Sobel
+    response instead of raw intensity — cv::StereoBM's PREFILTER_XSOBEL
+    stage. This is what makes BM robust to stereo exposure differences;
+    measured on a MicroEuroc pair it lifts cv2.StereoBM agreement from
+    65% to 99.8% of pixels within 2 px.
+
+    `lr_check=True` additionally runs the right-view winner-take-all on
+    the SAME cost volume (costR[d, y, xr] = costL[d, y, xr + d], a roll —
+    no second matching pass) and rejects pixels whose left and right
+    disparities disagree by more than `lr_max_diff` (the role of
+    StereoBM's disp12MaxDiff / SGBM's disp_12_max_diff_, reference
+    dense-stereo params StereoMatchingParams.h).
+
     Returns (disparity (H,W) float32, valid (H,W) bool)."""
     from kimera_vio_tpu.ops.corner_detection import _conv2d
 
     H, W = left_rect.shape
     L = left_rect.astype(jnp.float32)
     R = right_rect.astype(jnp.float32)
+    if prefilter_xsobel:
+        kx = np.array(
+            [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32
+        ) / 8.0
+        cap = jnp.float32(prefilter_cap)
+        L = jnp.clip(_conv2d(L, kx), -cap, cap) + cap
+        R = jnp.clip(_conv2d(R, kx), -cap, cap) + cap
     r = block_size // 2
     kcol = np.ones((block_size, 1), np.float32)
     big = jnp.float32(1e30)
@@ -203,10 +227,20 @@ def dense_stereo(
         c = jnp.where(
             (x[None, :] >= d + r) & (x[None, :] < W - r), c, big
         )
-        return None, c
+        if not lr_check:
+            return None, c
+        # Right-view cost at right pixel xr is the left cost at xr + d.
+        cr = jnp.roll(c, -d, axis=1)
+        cr = jnp.where(
+            (x[None, :] >= r) & (x[None, :] < W - d - r), cr, big
+        )
+        return None, (c, cr)
 
     ds = jnp.arange(min_disparity, min_disparity + num_disparities)
-    _, costs = jax.lax.scan(one_cost, None, ds)  # (D,H,W)
+    if lr_check:
+        _, (costs, costs_r) = jax.lax.scan(one_cost, None, ds)  # (D,H,W)
+    else:
+        _, costs = jax.lax.scan(one_cost, None, ds)
 
     best_i = jnp.argmin(costs, axis=0)  # (H,W) index into ds
     best = jnp.min(costs, axis=0)
@@ -235,4 +269,43 @@ def dense_stereo(
         & (best_i > 0)
         & (best_i < num_disparities - 1)
     )
+    if lr_check:
+        # D_R at right pixel xr = x - D_L(x); disagreement kills the match.
+        best_r = (
+            jnp.argmin(costs_r, axis=0) + min_disparity
+        ).astype(jnp.float32)
+        xr = jnp.clip(
+            x[None, :] - jnp.round(disparity).astype(jnp.int32), 0, W - 1
+        )
+        d_r_at = jnp.take_along_axis(best_r, xr, axis=1)
+        valid = valid & (jnp.abs(d_r_at - disparity) <= lr_max_diff)
     return disparity, valid
+
+
+def dense_depth(
+    left_rect: jax.Array,
+    right_rect: jax.Array,
+    *,
+    fx: float,
+    baseline: float,
+    min_depth: float = 0.1,
+    max_depth: float = 15.0,
+    num_disparities: int = 64,
+    block_size: int = 9,
+):
+    """Dense metric depth image from a rectified stereo pair: the depth
+    source the mesh-refinement path (MeshOptimization.cpp) expects on
+    stereo (non-RGB-D) sequences. Invalid / out-of-range pixels are 0
+    (the RGB-D convention used by _refine_mesh / optimize_mesh).
+    """
+    disparity, valid = dense_stereo(
+        left_rect,
+        right_rect,
+        num_disparities=num_disparities,
+        block_size=block_size,
+        lr_check=True,
+        prefilter_xsobel=True,
+    )
+    depth = fx * baseline / jnp.maximum(disparity, 1e-3)
+    ok = valid & (depth >= min_depth) & (depth <= max_depth)
+    return jnp.where(ok, depth, 0.0)

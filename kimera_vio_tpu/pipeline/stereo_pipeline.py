@@ -41,7 +41,13 @@ from kimera_vio_tpu.frontend.vision_frontend import (
     FrontendConfig,
     StereoFrontend,
 )
-from kimera_vio_tpu.ops.frame_codec import decode_delta4, encode_delta4
+from kimera_vio_tpu.ops.frame_codec import (
+    decode_delta3,
+    decode_delta4,
+    encode_delta3,
+    encode_delta4,
+    wire_bytes,
+)
 from kimera_vio_tpu.utils.logger import BackendLogger, FrontendLogger
 from kimera_vio_tpu.utils.stats import StatsCollector
 
@@ -307,6 +313,8 @@ class StereoImuPipeline:
         plane feedback -> LCD -> visualizer). Returns the (possibly
         plane-refined) window. `fo` must carry the full keyframe output
         fields (kp_uv/kp_ids/lmk_*)."""
+        from kimera_vio_tpu.config import flags as _flags
+
         if not bool(fo["is_keyframe"]):
             return win
         pose_R = np.asarray(fo["rot"])
@@ -328,6 +336,15 @@ class StereoImuPipeline:
                 # Depth-based mesh refinement (MeshOptimization.cpp):
                 # `right` is the metric depth image in RGB-D mode.
                 mesh = self._refine_mesh(mesh, right, pose_R, pose_t)
+            elif mesh is not None and _flags.get_flag(
+                "use_dense_depth_mesh_refinement"
+            ):
+                # Stereo sequences: dense block-matching depth (the
+                # reference's denseStereoReconstruction role,
+                # StereoMatcher.cpp:32-121) stands in for the RGB-D
+                # sensor depth.
+                depth = self._dense_depth_for_kf(left, right)
+                mesh = self._refine_mesh(mesh, depth, pose_R, pose_t)
             if self.use_regular_vio and mesh is not None:
                 # RegularVIO plane feedback (backend_type: 1, the EuRoC
                 # default): mesher plane hypotheses + landmark-plane
@@ -460,6 +477,36 @@ class StereoImuPipeline:
             np.asarray(planes2.normal), np.asarray(planes2.d)
         )
         return win2
+
+    def _dense_depth_for_kf(self, left, right):
+        """Dense metric depth image for a stereo keyframe: rectify the
+        raw pair and run the block-matching disparity op (the reference's
+        StereoMatcher::denseStereoReconstruction role, StereoMatcher.cpp:
+        32-121 — there a cv::StereoBM passthrough, here a TPU cost-volume
+        scan, ops/stereo_matching.dense_stereo)."""
+        from kimera_vio_tpu.config import flags as _flags
+        from kimera_vio_tpu.frontend.camera import remap_bilinear
+        from kimera_vio_tpu.ops.stereo_matching import dense_depth
+
+        if not hasattr(self, "_dense_depth_jit"):
+            nd = int(_flags.get_flag("dense_stereo_num_disparities"))
+            bs = int(_flags.get_flag("dense_stereo_block_size"))
+            fx = float(np.asarray(self.stereo.fx))
+            bl = float(np.asarray(self.stereo.baseline))
+            mind = float(self.params.frontend.min_point_dist)
+            maxd = float(self.params.frontend.max_point_dist)
+
+            def _impl(l, r):
+                lr = remap_bilinear(l, self.frontend.map_left)
+                rr = remap_bilinear(r, self.frontend.map_right)
+                return dense_depth(
+                    lr, rr, fx=fx, baseline=bl,
+                    min_depth=mind, max_depth=maxd,
+                    num_disparities=nd, block_size=bs,
+                )
+
+            self._dense_depth_jit = jax.jit(_impl)
+        return self._dense_depth_jit(jnp.asarray(left), jnp.asarray(right))
 
     def _refine_mesh(self, mesh, depth_img, pose_R, pose_t):
         """Depth-based mesh refinement (reference MeshOptimization.cpp):
@@ -954,18 +1001,20 @@ class StereoImuPipeline:
         # bootstrap transfers/dispatches (~0.1 s of tunnel time hidden).
         C = chunk_size
         # Lossless temporal-delta staging codec (ops/frame_codec.py): ships
-        # ~1.7x fewer bytes over the transfer-bound h2d link; the device
-        # reconstructs exact frames (unpack + scatter + time cumsum), so
+        # ~2.3x fewer bytes over the transfer-bound h2d link (3-tier
+        # delta3; delta4 as fallback); the device reconstructs exact
+        # frames (unpack + prefix-sum escape scatter + time cumsum), so
         # trajectories are bit-identical to raw staging. Per-super-batch
-        # fallback to raw when the scene defeats the 4-bit deltas.
-        use_codec = os.environ.get("KIMERA_STAGE_CODEC", "delta4") != "raw"
+        # fallback to delta4/raw when the scene defeats the deltas.
+        codec = os.environ.get("KIMERA_STAGE_CODEC", "delta3")
+        use_codec = codec != "raw"
         if rest:
             frame_bytes = 2 * int(
                 np.prod(provider.load_image(rest[0]["left_path"]).shape)
             )
-            # super_batch_bytes budgets WIRE bytes; delta4 frames cost
-            # ~0.6x raw, so more frames fit per transfer.
-            eff_bytes = (frame_bytes * 3) // 5 if use_codec else frame_bytes
+            # super_batch_bytes budgets WIRE bytes; delta3 frames cost
+            # ~0.45x raw, so more frames fit per transfer.
+            eff_bytes = (frame_bytes * 9) // 20 if use_codec else frame_bytes
             super_frames = max(
                 C, super_batch_bytes // max(eff_bytes, 1) // C * C
             )
@@ -973,6 +1022,7 @@ class StereoImuPipeline:
             super_frames = C
 
         def stage(batch, shift_ns=0):
+            tic = time.perf_counter()
             n_real = len(batch)
             n_pad = (-n_real) % C
             padded = batch + [batch[-1]] * n_pad
@@ -996,20 +1046,52 @@ class StereoImuPipeline:
                 if i < n_real:
                     aux[i, B * 7 : B * 8] = np.asarray(blk.mask, np.float32)
                 aux[i, B * 8] = (p["stamp_ns"] - t0_ns - shift_ns) * 1e-9
-            enc = encode_delta4(imgs) if use_codec else None
-            if enc is not None:
+            enc3 = (
+                encode_delta3(imgs)
+                if use_codec and codec != "delta4"
+                else None
+            )
+            self.stats.add(
+                "stage encode [ms]", (time.perf_counter() - tic) * 1e3
+            )
+            tic = time.perf_counter()
+            if enc3 is not None:
                 wire = (
-                    jnp.asarray(enc["base"]),
-                    jnp.asarray(enc["packed"]),
-                    jnp.asarray(enc["esc_idx"]),
-                    jnp.asarray(enc["esc_val"]),
-                    enc["shape"],
+                    jnp.asarray(enc3["base"]),
+                    jnp.asarray(enc3["t1"]),
+                    jnp.asarray(enc3["t2"]),
+                    jnp.asarray(enc3["t3"]),
+                    enc3["shape"],
                 )
-                return ("delta4", wire, jnp.asarray(aux), B)
-            return ("raw", jnp.asarray(imgs), jnp.asarray(aux), B)
+                payload = ("delta3", wire, jnp.asarray(aux), B)
+                mb = wire_bytes(enc3) / 1e6
+            else:
+                enc = encode_delta4(imgs) if use_codec else None
+                if enc is not None:
+                    wire = (
+                        jnp.asarray(enc["base"]),
+                        jnp.asarray(enc["packed"]),
+                        jnp.asarray(enc["esc_idx"]),
+                        jnp.asarray(enc["esc_val"]),
+                        enc["shape"],
+                    )
+                    payload = ("delta4", wire, jnp.asarray(aux), B)
+                    mb = wire_bytes(enc) / 1e6
+                else:
+                    payload = ("raw", jnp.asarray(imgs), jnp.asarray(aux), B)
+                    mb = imgs.nbytes / 1e6
+            put_s = time.perf_counter() - tic
+            self.stats.add("stage h2d [ms]", put_s * 1e3)
+            self.stats.add("stage wire [MB]", mb)
+            if put_s > 1e-4:
+                self.stats.add("stage h2d [MB/s]", mb / put_s)
+            return payload
 
         def materialize(payload):
             """Staged payload -> (imgs_super_batch, aux, B) on device."""
+            if payload[0] == "delta3":
+                _, (base, t1, t2, t3, shape), aux, B = payload
+                return decode_delta3(base, t1, t2, t3, shape), aux, B
             if payload[0] == "delta4":
                 _, (base, packed, ei, ev, shape), aux, B = payload
                 return decode_delta4(base, packed, ei, ev, shape), aux, B
@@ -1197,11 +1279,17 @@ class StereoImuPipeline:
             ci = 0
             fos_list = []
             while True:
+                tic = time.perf_counter()
                 item = staged.get()
+                self.stats.add(
+                    "dispatch wait-for-stage [ms]",
+                    (time.perf_counter() - tic) * 1e3,
+                )
                 if item is None:
                     break
                 payload, n_real, j = item
                 win, fe_state = apply_super_shift(j, win, fe_state)
+                tic = time.perf_counter()
                 imgs_sb, aux_sb, B = materialize(payload)
                 n_inner = imgs_sb.shape[0] // C
                 for k in range(n_inner):
@@ -1214,10 +1302,21 @@ class StereoImuPipeline:
                     ci += 1
                     if verbose and ci % 8 == 0:
                         print(f"chunk {ci}/{len(chunks)}")
+                self.stats.add(
+                    "chunk dispatch [ms]", (time.perf_counter() - tic) * 1e3
+                )
             if fos_list:
+                tic = time.perf_counter()
                 all_rows = np.asarray(jnp.concatenate(fos_list, axis=0))
+                self.stats.add(
+                    "readback [ms]", (time.perf_counter() - tic) * 1e3
+                )
+                tic = time.perf_counter()
                 for ci, chunk in enumerate(chunks):
                     drain((chunk, all_rows[ci * C : (ci + 1) * C]))
+                self.stats.add(
+                    "drain [ms]", (time.perf_counter() - tic) * 1e3
+                )
             self._last_win, self._last_lmk = win, lmk
             self._write_final_logs(out)
             return out

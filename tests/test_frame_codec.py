@@ -1,11 +1,13 @@
-"""Round-trip tests for the temporal-delta 4-bit staging codec."""
+"""Round-trip tests for the temporal-delta staging codecs."""
 import os
 
 import numpy as np
 import pytest
 
 from kimera_vio_tpu.ops.frame_codec import (
+    decode_delta3,
     decode_delta4,
+    encode_delta3,
     encode_delta4,
     wire_bytes,
 )
@@ -91,6 +93,90 @@ def test_native_encoder_matches_numpy(monkeypatch):
         np.testing.assert_array_equal(enc_np[k], enc_cc[k])
     assert enc_np["shape"] == enc_cc["shape"]
     _roundtrip(stack)
+
+
+# --------------------------------------------------------------------------
+# delta3 (3-tier, implicit escape positions)
+# --------------------------------------------------------------------------
+
+
+def _roundtrip3(frames):
+    enc = encode_delta3(frames)
+    assert enc is not None
+    dec = np.asarray(
+        decode_delta3(
+            enc["base"], enc["t1"], enc["t2"], enc["t3"], enc["shape"]
+        )
+    )
+    np.testing.assert_array_equal(dec, frames)
+    return enc
+
+
+def _three_tier_stack(shape=(2, 41, 53), n=10, seed=0):
+    """Synthetic video exercising all three tiers (odd sizes exercise
+    the tier-1 group padding)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, shape, np.int16)
+    frames = [base]
+    for _ in range(n - 1):
+        step = rng.integers(-3, 4, shape)
+        j1 = rng.random(shape) < 0.08
+        step = np.where(j1, rng.integers(-11, 12, shape), step)
+        j2 = rng.random(shape) < 0.01
+        step = np.where(j2, rng.integers(-200, 201, shape), step)
+        frames.append(np.clip(frames[-1] + step, 0, 255))
+    return np.stack(frames).astype(np.uint8)
+
+
+def test_delta3_roundtrip_all_tiers():
+    stack = _three_tier_stack()
+    enc = _roundtrip3(stack)
+    # 3-bit tier-1 beats delta4's nibbles on smooth content.
+    assert wire_bytes(enc) < stack.nbytes
+
+
+def test_delta3_native_matches_numpy(monkeypatch):
+    from kimera_vio_tpu import native
+    from kimera_vio_tpu.ops import frame_codec as fc
+
+    if native.load("delta3") is None:
+        pytest.skip("no native toolchain")
+    stack = _three_tier_stack(seed=3)
+    monkeypatch.setenv("KIMERA_DELTA3_NATIVE", "0")
+    enc_np = fc.encode_delta3(stack)
+    monkeypatch.setenv("KIMERA_DELTA3_NATIVE", "1")
+    enc_cc = fc.encode_delta3(stack)
+    for k in ("base", "t1", "t2", "t3"):
+        np.testing.assert_array_equal(enc_np[k], enc_cc[k], err_msg=k)
+    assert enc_np["shape"] == enc_cc["shape"]
+
+
+def test_delta3_noise_declines():
+    rng = np.random.default_rng(2)
+    stack = rng.integers(0, 256, (4, 64, 64), np.uint8)
+    assert encode_delta3(stack) is None
+    assert encode_delta3(np.zeros((4, 8, 8), np.float32)) is None
+    assert encode_delta3(np.zeros((1, 8, 8), np.uint8)) is None
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(MICRO_EUROC), reason="MicroEuroc not present"
+)
+def test_delta3_micro_euroc_beats_delta4():
+    import cv2
+
+    names = sorted(os.listdir(MICRO_EUROC))[:12]
+    stack = np.stack(
+        [
+            cv2.imread(os.path.join(MICRO_EUROC, n), cv2.IMREAD_GRAYSCALE)
+            for n in names
+        ]
+    )
+    enc3 = _roundtrip3(stack)
+    enc4 = encode_delta4(stack)
+    assert wire_bytes(enc3) < wire_bytes(enc4)
+    # ~0.45x raw on real EuRoC frames.
+    assert wire_bytes(enc3) < stack.nbytes * 0.55
 
 
 @pytest.mark.skipif(

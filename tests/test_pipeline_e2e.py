@@ -408,19 +408,20 @@ def test_chunked_delta4_codec_matches_raw(monkeypatch):
 
     params = synthetic_params(nr_states=8, max_features=96, max_landmarks=128)
     outs = {}
-    for codec in ("delta4", "raw"):
+    for codec in ("delta3", "delta4", "raw"):
         monkeypatch.setenv("KIMERA_STAGE_CODEC", codec)
         prov = Uint8Provider(n_frames=30, vx=0.5)
         outs[codec] = StereoImuPipeline(params, parallel_run=False).run_chunked(
             prov, chunk_size=8
         )
-    assert outs["delta4"].n_keyframes == outs["raw"].n_keyframes
-    np.testing.assert_array_equal(
-        np.stack(outs["delta4"].positions), np.stack(outs["raw"].positions)
-    )
-    np.testing.assert_array_equal(
-        np.stack(outs["delta4"].quats_wxyz), np.stack(outs["raw"].quats_wxyz)
-    )
+    for codec in ("delta3", "delta4"):
+        assert outs[codec].n_keyframes == outs["raw"].n_keyframes
+        np.testing.assert_array_equal(
+            np.stack(outs[codec].positions), np.stack(outs["raw"].positions)
+        )
+        np.testing.assert_array_equal(
+            np.stack(outs[codec].quats_wxyz), np.stack(outs["raw"].quats_wxyz)
+        )
 
 
 @pytest.mark.slow
