@@ -300,6 +300,18 @@ def main():
             out.n_frames / float(np.median(times)), 2
         )
         _RESULT["wall_reps"] = len(times)
+        # Per-stage attribution (reference utils::Statistics role): the
+        # windowed means of the chunked path's stage timers, so the JSON
+        # explains WHERE a wall rep's time goes (encode / h2d / dispatch /
+        # readback), not just the total.
+        _RESULT["stages"] = {
+            k: v
+            for k, v in pipe.stats.summary().items()
+            if any(
+                s in k
+                for s in ("stage", "dispatch", "readback", "drain")
+            )
+        }
 
     # --- device-only pass: pre-staged chunks, chained dispatch -------------
     import kimera_vio_tpu.backend.smoother as smod

@@ -124,7 +124,12 @@ def main(argv=None) -> int:
         f"frames={out.n_frames} keyframes={out.n_keyframes} "
         f"wall={wall:.2f}s fps={fps:.1f}"
     )
-    pipe.stats.print_table()
+    # Reference-style statistics table (Pipeline::printStatistics,
+    # README.md:211-250) + the CI-trended timing CSV
+    # (output_timingOverall.csv, Logger.cpp:575-582, Jenkinsfile:89-95).
+    print(pipe.stats.print_table())
+    if flags.get_flag("log_output"):
+        pipe.stats.write_timing_csv(args.output_path, wall * 1e3)
     return 0
 
 

@@ -466,6 +466,10 @@ class LcdParams(ParamsBase):
     # default k3d3d, LoopClosureDetectorParams.h:81; EuRoC yaml sets 0)
     pose_recovery_type: int = 0
     between_rotation_precision: float = 10000.0
+    # Optional nonlinear refinement of the recovered loop pose over the
+    # inlier correspondences (reference LoopClosureDetectorParams.h:80
+    # default true; refinePoses, LoopClosureDetector.cpp:979).
+    refine_pose: bool = True
     lowe_ratio: float = 0.7
     # matcher_type / scale_factor / nlevels are cv::ORB + cv::DescriptorMatcher
     # construction knobs: parsed for schema parity, inert here — the TPU ORB
@@ -510,6 +514,7 @@ class LcdParams(ParamsBase):
                 float,
             ),
             "pose_recovery_type": ("pose_recovery_type", int),
+            "refine_pose": ("refine_pose", lambda v: bool(int(v))),
             "betweenRotationPrecision": ("between_rotation_precision", float),
             "lowe_ratio": ("lowe_ratio", float),
             "matcher_type": ("matcher_type", int),

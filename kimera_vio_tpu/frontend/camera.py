@@ -29,6 +29,24 @@ from flax import struct
 from kimera_vio_tpu.common import geometry as geo
 from kimera_vio_tpu.config.params import CameraParams
 
+def cpu_backend():
+    """Context manager pinning eager jax ops to the host CPU backend.
+
+    Construction-time geometry (rectification maps, calib inverses) must
+    NOT run on the accelerator: over a remote-TPU tunnel each eager
+    program costs a compile round-trip and the d2h result fetch runs at
+    ~10 MB/s (measured: the two rectification maps alone cost ~165 s of
+    warmup). Falls back to a no-op context when no CPU backend exists.
+    """
+    import contextlib
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 # Distortion model codes (static ints, selected at trace time).
 DIST_NONE = 0
 DIST_RADTAN = 1
@@ -403,18 +421,66 @@ def unrectify_keypoints(stereo: StereoCamera, cam: PinholeCamera, R_rect: jax.Ar
     return jnp.stack([u, v], axis=-1)
 
 
-def rectification_map(stereo: StereoCamera, cam: PinholeCamera, R_rect: jax.Array) -> jax.Array:
+def _distort_np(dist_model: int, dist: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    """Pure-numpy mirror of `distort` (radtan / equidistant) for
+    construction-time map building — no accelerator involvement."""
+    if dist_model == DIST_NONE:
+        return xy
+    x, y = xy[..., 0], xy[..., 1]
+    k1, k2, p1, p2 = float(dist[0]), float(dist[1]), float(dist[2]), float(dist[3])
+    if dist_model == DIST_RADTAN:
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        return np.stack([xd, yd], axis=-1)
+    r = np.sqrt(x * x + y * y)
+    theta = np.arctan(r)
+    t2 = theta * theta
+    theta_d = theta * (1 + k1 * t2 + k2 * t2**2 + p1 * t2**3 + p2 * t2**4)
+    scale = np.where(r > 1e-8, theta_d / np.maximum(r, 1e-8), 1.0)
+    return xy * scale[..., None]
+
+
+def rectification_map(stereo: StereoCamera, cam: PinholeCamera, R_rect: jax.Array) -> np.ndarray:
     """Dense inverse map for image rectification: for every *rectified*
     pixel, the (x, y) source location in the distorted image. Shape
     (H, W, 2), float32. Precomputed once per rig (the equivalent of
     cv::initUndistortRectifyMap, UndistorterRectifier.cpp:230); applied
-    with `remap_bilinear`."""
+    with `remap_bilinear`.
+
+    Computed in PURE NUMPY on the host: this runs at pipeline
+    construction, and eager accelerator math here costs compile
+    round-trips + d2h fetches over a remote-TPU tunnel (measured ~165 s
+    of bench warmup before this was host-side). Mirrors
+    `unrectify_keypoints` for the pinhole+radtan/equidistant models
+    (UndistorterRectifier::distortUnrectifyKeypoints,
+    UndistorterRectifier.cpp:213)."""
     H, W = cam.height, cam.width
-    ys = jnp.arange(H, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)
-    vv, uu = jnp.meshgrid(ys, xs, indexing="ij")
-    uv_rect = jnp.stack([uu, vv], axis=-1)  # (H, W, 2)
-    return unrectify_keypoints(stereo, cam, R_rect, uv_rect)
+    ys = np.arange(H, dtype=np.float64)
+    xs = np.arange(W, dtype=np.float64)
+    vv, uu = np.meshgrid(ys, xs, indexing="ij")
+    x = (uu - float(stereo.cx)) / float(stereo.fx)
+    y = (vv - float(stereo.cy)) / float(stereo.fy)
+    rays_rect = np.stack([x, y, np.ones_like(x)], axis=-1)  # (H, W, 3)
+    Rt = np.asarray(R_rect, np.float64).T
+    rays = rays_rect @ Rt.T
+    z = np.maximum(rays[..., 2], 1e-8)
+    xy = rays[..., 0:2] / z[..., None]
+    if cam.dist_model == DIST_OMNI:
+        # Omni rigs never take this path in practice (the reference's
+        # omni support is backproject-only); fall back to the jax
+        # implementation for exactness if ever hit.
+        return np.asarray(
+            unrectify_keypoints(
+                stereo, cam, jnp.asarray(R_rect),
+                jnp.asarray(np.stack([uu, vv], -1), jnp.float32),
+            )
+        )
+    xyd = _distort_np(cam.dist_model, np.asarray(cam.dist), xy)
+    u = float(cam.fx) * xyd[..., 0] + float(cam.cx)
+    v = float(cam.fy) * xyd[..., 1] + float(cam.cy)
+    return np.stack([u, v], axis=-1).astype(np.float32)
 
 
 class SeparableRemap:
@@ -460,28 +526,47 @@ class SeparableRemap:
         dx = np.floor(x).astype(np.int32) - np.arange(W, dtype=np.int32)[None, :]
         self.r_lo, self.r_hi = int(dy.min()), int(dy.max()) + 1
         self.c_lo, self.c_hi = int(dx.min()), int(dx.max()) + 1
-        self.dy, self.fy = jnp.asarray(dy), jnp.asarray(fy)
-        self.dx, self.fx = jnp.asarray(dx), jnp.asarray(fx)
+        # Kept as NUMPY on the host object. The selector fields must reach
+        # the jitted frame step as ARGUMENTS (see device_taps), never as
+        # closed-over constants: device-resident constants are re-fetched
+        # d2h (~10 MB/s tunnel) on every lowering, and host constants
+        # constant-fold into per-tap dense weight planes that blow the
+        # lowered module to ~780 MB of text (measured) and wreck compile
+        # time + compilation-cache behavior.
+        self.dy, self.fy = dy, fy
+        self.dx, self.fx = dx, fx
         self.H, self.W = H, W
         self.n_taps = (self.r_hi - self.r_lo + 1) + (self.c_hi - self.c_lo + 1)
 
-    def __call__(self, img: jax.Array) -> jax.Array:
+    def device_taps(self) -> tuple:
+        """Selector fields as device arrays, to be passed as jit
+        arguments (they enter the program as parameters, keeping the
+        lowered module small and its cache key stable)."""
+        return (
+            jnp.asarray(self.dy), jnp.asarray(self.fy),
+            jnp.asarray(self.dx), jnp.asarray(self.fx),
+        )
+
+    def __call__(self, img: jax.Array, taps: tuple | None = None) -> jax.Array:
         H, W = self.H, self.W
+        dy, fy, dx, fx = taps if taps is not None else (
+            self.dy, self.fy, self.dx, self.fx
+        )
         img = img.astype(jnp.float32)
         pt, pb = max(-self.r_lo, 0), max(self.r_hi, 0)
         imgp = jnp.pad(img, ((pt, pb), (0, 0)), mode="edge")
         tmp = jnp.zeros_like(img)
         for r in range(self.r_lo, self.r_hi + 1):
-            w = jnp.where(self.dy == r, 1.0 - self.fy, 0.0) + jnp.where(
-                self.dy == r - 1, self.fy, 0.0
+            w = jnp.where(dy == r, 1.0 - fy, 0.0) + jnp.where(
+                dy == r - 1, fy, 0.0
             )
             tmp = tmp + w * jax.lax.slice(imgp, (pt + r, 0), (pt + r + H, W))
         pl, pr = max(-self.c_lo, 0), max(self.c_hi, 0)
         tmpp = jnp.pad(tmp, ((0, 0), (pl, pr)), mode="edge")
         out = jnp.zeros_like(img)
         for c in range(self.c_lo, self.c_hi + 1):
-            w = jnp.where(self.dx == c, 1.0 - self.fx, 0.0) + jnp.where(
-                self.dx == c - 1, self.fx, 0.0
+            w = jnp.where(dx == c, 1.0 - fx, 0.0) + jnp.where(
+                dx == c - 1, fx, 0.0
             )
             out = out + w * jax.lax.slice(tmpp, (0, pl + c), (H, pl + c + W))
         return out

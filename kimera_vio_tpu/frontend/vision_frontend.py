@@ -232,6 +232,12 @@ class FrontendState:
     # keyframes (see ops/optical_flow.build_lk_templates). Saves the
     # per-frame template resampling entirely.
     lkf_templates: tuple = ()
+    # Rectification-remap selector fields ((left_taps, right_taps), each
+    # from SeparableRemap.device_taps()), threaded as ARGUMENTS so the
+    # jitted step never embeds them as constants (constants are re-fetched
+    # d2h per lowering / constant-fold into a ~780 MB module — see
+    # SeparableRemap). Loop-invariant in the chunk scan carry.
+    remaps: tuple = ()
 
 
 def _stack_pyr(pyr: list[jax.Array]) -> tuple:
@@ -251,36 +257,49 @@ class StereoFrontend:
         # Precompute rectification maps (host once). The dense remap runs as
         # a separable shifted-select resample (SeparableRemap): the generic
         # per-pixel gather costs ~20 ms/image on TPU, the separable form <1 ms.
-        from kimera_vio_tpu.frontend.camera import SeparableRemap
+        from kimera_vio_tpu.frontend.camera import SeparableRemap, cpu_backend
 
-        self.map_left = rectification_map(stereo, stereo.left, stereo.R_rect_l)
-        self.map_right = rectification_map(stereo, stereo.right, stereo.R_rect_r)
-        self.sep_remap_left = SeparableRemap(np.asarray(self.map_left))
-        self.sep_remap_right = SeparableRemap(np.asarray(self.map_right))
+        # Construction-time geometry runs on the HOST CPU backend and is
+        # stored as numpy: eager map construction on the accelerator costs
+        # a tunnel round-trip per program (measured: the rectification-map
+        # compile + d2h fetch alone was ~165 s of bench warmup), and
+        # device-resident constants closed over by the jitted step are
+        # re-fetched d2h at ~10 MB/s during EVERY lowering
+        # (jax mlir ir_constant -> ArrayImpl._value). Numpy constants
+        # embed from host memory for free.
+        with cpu_backend():
+            self.map_left = np.asarray(
+                rectification_map(stereo, stereo.left, stereo.R_rect_l)
+            )
+            self.map_right = np.asarray(
+                rectification_map(stereo, stereo.right, stereo.R_rect_r)
+            )
+        self.sep_remap_left = SeparableRemap(self.map_left)
+        self.sep_remap_right = SeparableRemap(self.map_right)
         # Rectified intrinsics matrix for flow prediction.
         fx, fy = float(stereo.fx), float(stereo.fy)
         cx, cy = float(stereo.cx), float(stereo.cy)
-        self.K_rect = jnp.array(
-            [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32
+        self.K_rect = np.array(
+            [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32
         )
-        self.K_rect_inv = jnp.linalg.inv(self.K_rect)
+        self.K_rect_inv = np.linalg.inv(self.K_rect).astype(np.float32)
         # R from body to rectified-left cam (for gyro rotation transfer).
-        self.R_cam_body = jnp.asarray(stereo.R_b_rect).T
+        self.R_cam_body = np.asarray(stereo.R_b_rect).T
         # Raw-left-camera quantities: tracking/detection run on the RAW
         # image (the reference tracks unrectified frames and rectifies
         # keypoints, Tracker.cpp / UndistorterRectifier); full-image remap
         # happens only inside the keyframe branch for stereo matching.
         lf = self.left
-        self.K_raw = jnp.array(
+        self.K_raw = np.array(
             [
                 [float(lf.fx), 0.0, float(lf.cx)],
                 [0.0, float(lf.fy), float(lf.cy)],
                 [0.0, 0.0, 1.0],
             ],
-            jnp.float32,
+            np.float32,
         )
-        self.K_raw_inv = jnp.linalg.inv(self.K_raw)
-        self.R_leftcam_body = jnp.asarray(self.left.R_bc).T
+        self.K_raw_inv = np.linalg.inv(self.K_raw).astype(np.float32)
+        self.R_leftcam_body = np.asarray(self.left.R_bc).T
         # Identity rectification (mono / RGB-D rigs, distortion-free
         # synthetic cameras): skip the remap entirely.
         import numpy as _np
@@ -292,6 +311,18 @@ class StereoFrontend:
             and _np.allclose(
                 [float(stereo.fx), float(stereo.fy), float(stereo.cx), float(stereo.cy)],
                 [float(lf.fx), float(lf.fy), float(lf.cx), float(lf.cy)],
+            )
+        )
+
+        # Remap selector fields as device arrays: these enter every jitted
+        # step as ARGUMENTS (threaded via FrontendState.remaps), never as
+        # closed-over constants — see SeparableRemap.device_taps.
+        self.remap_taps = (
+            ()
+            if self.identity_rect
+            else (
+                self.sep_remap_left.device_taps(),
+                self.sep_remap_right.device_taps(),
             )
         )
 
@@ -334,11 +365,19 @@ class StereoFrontend:
             self.stereo, self.stereo.left, self.stereo.R_rect_l, uv
         )
 
-    def _remap_left(self, img):
-        return img if self.identity_rect else self.sep_remap_left(img)
+    def _remap_left(self, img, remaps=()):
+        return (
+            img
+            if self.identity_rect
+            else self.sep_remap_left(img, remaps[0] if remaps else None)
+        )
 
-    def _remap_right(self, img):
-        return img if self.identity_rect else self.sep_remap_right(img)
+    def _remap_right(self, img, remaps=()):
+        return (
+            img
+            if self.identity_rect
+            else self.sep_remap_right(img, remaps[1] if remaps else None)
+        )
 
     def _versors_from_raw(self, uv_raw):
         """Unit bearing vectors in the RECTIFIED-left frame from raw
@@ -365,9 +404,11 @@ class StereoFrontend:
 
     # ------------------------------------------------------------------
     def init_state(self, left_img, right_img, stamp):
-        return self._init_state(left_img, right_img, jnp.float32(stamp))
+        return self._init_state(
+            left_img, right_img, jnp.float32(stamp), self.remap_taps
+        )
 
-    def _init_state_impl(self, left_img, right_img, stamp):
+    def _init_state_impl(self, left_img, right_img, stamp, remaps=()):
         cfg = self.cfg
         left_img = left_img.astype(jnp.float32)
         if not cfg.rgbd:
@@ -414,10 +455,13 @@ class StereoFrontend:
             next_id=jnp.int32(cfg.max_features),
             frame_count=jnp.int32(1),
             kf_count=jnp.int32(1),
+            remaps=remaps,
         )
         # First keyframe output: stereo-match the fresh detections.
-        left_rect = self._remap_left(left_img)
-        right_rect = right_img if cfg.rgbd else self._remap_right(right_img)
+        left_rect = self._remap_left(left_img, remaps)
+        right_rect = (
+            right_img if cfg.rgbd else self._remap_right(right_img, remaps)
+        )
         meas, n_stereo = self._stereo_measurements(left_rect, right_rect, feats)
         state = state.replace(lkf_uvd=meas.uvs, lkf_uvd_mask=meas.mask)
         return state, meas
@@ -730,8 +774,12 @@ class StereoFrontend:
         self, state, cur_feats, cur_pyr, left_img, right_img, pim, R_cam, stamp
     ):
         cfg = self.cfg
-        left_rect = self._remap_left(left_img)
-        right_rect = right_img if cfg.rgbd else self._remap_right(right_img)
+        left_rect = self._remap_left(left_img, state.remaps)
+        right_rect = (
+            right_img
+            if cfg.rgbd
+            else self._remap_right(right_img, state.remaps)
+        )
         lcd_extras = (
             self._lcd_extract(
                 left_rect, left_rect if cfg.mono else right_rect

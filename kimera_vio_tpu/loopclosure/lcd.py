@@ -21,9 +21,15 @@ per keyframe:
      Gauss-Newton (pgo.py; the KimeraRPGO role, :1298 + GNC config
      :173-182).
 
-The BoW database is a device-resident dense matrix (max_keyframes x
-n_words); queries are one matmul-class op. Host keeps only the tiny island
-bookkeeping.
+The BoW database is an INVERTED INDEX (word -> postings of (kf_id,
+weight)), the same structure DBoW2's database uses (the behavioral
+contract behind LoopClosureDetector.cpp:682-764): a query touches only
+the words PRESENT in the query vector, so cost is O(nnz(query) x
+postings/word) — sublinear in both vocabulary size and database size —
+and memory is O(total nonzeros) = O(keyframes x features), independent
+of n_words. An optional `retain_keyframes` bound evicts the oldest
+keyframes from the index (the payload store is already disk-bounded by
+FrameCache). Host keeps only the tiny island bookkeeping.
 """
 
 from __future__ import annotations
@@ -64,12 +70,20 @@ class LcdConfig:
     pose_recovery_type: int = 0  # 0 k3d3d, 1 kPnP, 2 k5ptRotOnly
     max_pose_recovery_translation: float = 1e3
     between_rotation_precision: float = 10000.0
-    refine_pose: bool = False
+    # Nonlinear refinement of the recovered loop pose over the inlier
+    # correspondences (reference refinePoses,
+    # LoopClosureDetector.cpp:979; header default true).
+    refine_pose: bool = True
     # PGO (KimeraRPGO: PCM + optional GNC)
     pcm_rot_threshold: float = 0.1
     pcm_trans_threshold: float = 0.5
     gnc_alpha: float = 0.0  # 0 disables GNC (LoopClosureDetector.cpp:173-182)
     max_keyframes: int = 512
+    # Hard retention bound on the BoW index: keyframes older than the
+    # newest `retain_keyframes` are evicted from place recognition
+    # (their disk payloads stay in FrameCache). 0 = unbounded, the
+    # reference DBoW2 database behavior.
+    retain_keyframes: int = 0
     n_features: int = 256
     min_distance: float = 12.0  # grid-detector spacing for LCD features
 
@@ -90,6 +104,7 @@ class LcdConfig:
             max_nrFrames_between_islands=p.max_nrFrames_between_islands,
             max_nrFrames_between_queries=p.max_nrFrames_between_queries,
             min_correspondences=p.min_correspondences,
+            refine_pose=p.refine_pose,
             lowe_ratio=p.lowe_ratio,
             ransac_threshold_mono=p.ransac_threshold_mono,
             arun_threshold_m=p.ransac_inlier_threshold_stereo,
@@ -138,8 +153,11 @@ class LoopClosureDetector:
         self.cfg = cfg
         self.vocab = vocab
         self.stereo = stereo
-        W = vocab.n_words
-        self.db = np.zeros((cfg.max_keyframes, W), np.float32)
+        # Inverted BoW index (DBoW2 InvertedFile role): per word, growing
+        # lists of keyframe ids and weights. Memory = O(total nonzeros).
+        self._post_ids: dict[int, list] = {}
+        self._post_wts: dict[int, list] = {}
+        self._min_kf = 0  # retention floor (retain_keyframes eviction)
         self.n_kf = 0
         # Keyframe payloads (descriptors, keypoints, 3D points) live in the
         # disk-backed LRU FrameCache — RAM stays bounded on long missions
@@ -161,6 +179,23 @@ class LoopClosureDetector:
         self._match = jax.jit(
             lambda da, ma, db_, mb: orb_mod.match_descriptors(
                 da, ma, db_, mb, lowe_ratio=cfg.lowe_ratio
+            )
+        )
+        # Loop-pose refinement kernels (refinePoses role,
+        # LoopClosureDetector.cpp:979): robust 3D-3D IRLS for k3d3d,
+        # reprojection GN for kPnP.
+        self._refine_arun = jax.jit(
+            lambda pm, pq, inl, R, t: ransac.refine_arun_huber(
+                pm, pq, inl, R, t, huber_m=0.5 * cfg.arun_threshold_m
+            )
+        )
+        focal = (
+            float(np.asarray(stereo.fx)) if stereo is not None else 450.0
+        )
+        self._refine_pnp = jax.jit(
+            lambda pm, vq, inl, R, t: ransac.refine_pnp_gn(
+                pm, vq, inl, R, t,
+                focal=focal, huber_px=cfg.pnp_threshold_px,
             )
         )
 
@@ -196,8 +231,8 @@ class LoopClosureDetector:
 
         result = None
         max_match = kf_id - cfg.recent_frames_window
-        if max_match > 0:
-            scores = BowVocabulary.score_np(bow, self.db[:max_match])
+        if max_match > self._min_kf:
+            scores = self._query_index(bow, max_match)
             # NSS normalization (detectLoop :708-719).
             nss = 1.0
             if cfg.use_nss and self.latest_bow is not None:
@@ -226,11 +261,7 @@ class LoopClosureDetector:
                             if result is not None:
                                 self.loops.append(result)
 
-        if kf_id >= len(self.db):
-            # Grow the (tiny) BoW matrix geometrically; the heavy payloads
-            # are bounded by the FrameCache.
-            self.db = np.vstack([self.db, np.zeros_like(self.db)])
-        self.db[kf_id] = np.asarray(bow)
+        self._insert_index(kf_id, bow)
         self.latest_bow = bow
         self.cache.add(
             kf_id,
@@ -246,6 +277,55 @@ class LoopClosureDetector:
         self.kf_stamps.append(stamp_ns)
         self.n_kf += 1
         return result
+
+    # ------------------------------------------------------------------
+    def _query_index(self, bow: np.ndarray, max_match: int) -> np.ndarray:
+        """L1 BoW scores of `bow` against keyframes [0, max_match) via the
+        inverted index. Uses the common-words identity for L1-normalized
+        vectors (DBoW2 L1_NORM scoring, the loop at detectLoop :682-764):
+
+            1 - 0.5*|v - w|_1 = 0.5 * sum_{i in common}(v_i + w_i - |v_i - w_i|)
+
+        so only the query's nonzero words are touched — cost
+        O(nnz(query) x postings/word), sublinear in n_words and database
+        size. Evicted keyframes (id < retention floor) score 0."""
+        scores = np.zeros(max_match, np.float32)
+        for w in np.flatnonzero(bow):
+            ids = self._post_ids.get(int(w))
+            if not ids:
+                continue
+            ids_a = np.asarray(ids, np.int64)
+            wts_a = np.asarray(self._post_wts[int(w)], np.float32)
+            sel = (ids_a < max_match) & (ids_a >= self._min_kf)
+            if not sel.any():
+                continue
+            v = float(bow[w])
+            # ids within one word's postings are unique (one entry per
+            # keyframe), so fancy-index accumulation is safe.
+            scores[ids_a[sel]] += v + wts_a[sel] - np.abs(v - wts_a[sel])
+        return 0.5 * scores
+
+    def _insert_index(self, kf_id: int, bow: np.ndarray):
+        """Append this keyframe's nonzero words to the inverted file; when
+        `retain_keyframes` bounds the database, advance the retention
+        floor and amortize the physical prune (the payload store stays
+        disk-bounded in FrameCache regardless)."""
+        for w in np.flatnonzero(bow):
+            self._post_ids.setdefault(int(w), []).append(kf_id)
+            self._post_wts.setdefault(int(w), []).append(float(bow[w]))
+        r = self.cfg.retain_keyframes
+        if r > 0 and kf_id + 1 - r > self._min_kf:
+            self._min_kf = kf_id + 1 - r
+            if kf_id % 64 == 0:  # amortized physical prune
+                for w in list(self._post_ids):
+                    ids = self._post_ids[w]
+                    wts = self._post_wts[w]
+                    keep = [k for k, i in enumerate(ids) if i >= self._min_kf]
+                    if len(keep) != len(ids):
+                        self._post_ids[w] = [ids[k] for k in keep]
+                        self._post_wts[w] = [wts[k] for k in keep]
+                    if not self._post_ids[w]:
+                        del self._post_ids[w], self._post_wts[w]
 
     # ------------------------------------------------------------------
     def _compute_islands(self, cand: list[tuple[int, float]]) -> list[_Island]:
@@ -353,6 +433,9 @@ class LoopClosureDetector:
                 p_m, v_q, pair_ok, key,
                 threshold=cfg.pnp_threshold_px, focal=focal,
             )
+            if cfg.refine_pose:
+                # Reprojection GN over the inliers (refinePoses role).
+                R_cw, t_cw = self._refine_pnp(p_m, v_q, inl, R_cw, t_cw)
             # x_q = R_cw x_m + t_cw => T_match_query = inv([R_cw t_cw]).
             R = np.asarray(R_cw).T
             t = -R @ np.asarray(t_cw)
@@ -366,6 +449,10 @@ class LoopClosureDetector:
             R3, t3, inl, n_inl = ransac.ransac_3pt_arun(
                 p_m, p_q, pair_ok, key, threshold=cfg.arun_threshold_m
             )
+            if cfg.refine_pose:
+                # Robust 3D-3D IRLS over the inliers (the reference's
+                # optional GTSAM 3D-3D refinement, refinePoses :979).
+                R3, t3 = self._refine_arun(p_m, p_q, inl, R3, t3)
             R, t, n_inl = np.asarray(R3), np.asarray(t3), int(n_inl)
         if n_inl < cfg.min_inliers:
             return None

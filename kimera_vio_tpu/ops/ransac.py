@@ -433,3 +433,86 @@ def ransac_pnp(
     inliers = inl[best]
     R, t = _dlt_pnp(p_world, f_bearing, inliers.astype(p_world.dtype))
     return R, t, inliers, scores[best]
+
+
+# ---------------------------------------------------------------------------
+# Loop-pose refinement (the reference's optional GTSAM refinement of the
+# recovered loop pose, LoopClosureDetector::refinePoses,
+# /root/reference/src/loopclosure/LoopClosureDetector.cpp:979: a small
+# NonlinearFactorGraph over the inlier correspondences re-optimizes the
+# RANSAC pose). TPU-native: fixed-iteration IRLS / Gauss-Newton, jittable.
+# ---------------------------------------------------------------------------
+
+
+def refine_arun_huber(
+    p_ref: jax.Array,  # (N,3) points in ref (match) frame
+    p_cur: jax.Array,  # (N,3) points in cur (query) frame
+    inliers: jax.Array,  # (N,) bool RANSAC inlier set
+    R0: jax.Array,
+    t0: jax.Array,
+    *,
+    huber_m: float = 0.10,
+    iters: int = 5,
+):
+    """Robust 3D-3D loop-pose refinement: IRLS-weighted Arun with a Huber
+    kernel on the alignment residual ||p_ref - (R p_cur + t)||. Each
+    iteration is a closed-form weighted alignment, so the whole refine is
+    `iters` SVDs — the role of the reference's BetweenFactorPoint3 graph
+    (refinePoses, LoopClosureDetector.cpp:979-1045) without an iterative
+    linear solver."""
+    base_w = inliers.astype(p_ref.dtype)
+
+    def step(carry, _):
+        R, t = carry
+        res = jnp.linalg.norm(p_ref - (p_cur @ R.T + t), axis=-1)
+        w = base_w * jnp.minimum(1.0, huber_m / jnp.maximum(res, 1e-12))
+        return _arun(p_ref, p_cur, w), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    return R, t
+
+
+def refine_pnp_gn(
+    p_world: jax.Array,  # (N,3) landmark positions (match frame)
+    f_bearing: jax.Array,  # (N,3) unit bearings in query camera frame
+    inliers: jax.Array,  # (N,) bool RANSAC inlier set
+    R0: jax.Array,  # initial R_cw (x_cam = R_cw x_world + t_cw)
+    t0: jax.Array,
+    *,
+    focal: float = 450.0,
+    huber_px: float = 3.0,
+    iters: int = 8,
+):
+    """Reprojection Gauss-Newton refinement of a PnP pose (kPnP flavor of
+    the reference's refinePoses role): minimize the Huber-weighted
+    bearing residual focal * (normalize(R x + t) - b) over a 6-dof twist
+    (left-multiplied rotation perturbation + translation delta). Fixed
+    iteration count keeps it jittable; each step is a 6x6 solve."""
+    from kimera_vio_tpu.common.geometry import so3_exp
+
+    base_w = inliers.astype(p_world.dtype)
+
+    def residual(params, R, t):
+        Rp = so3_exp(params[:3]) @ R
+        pred = p_world @ Rp.T + (t + params[3:])
+        pred_n = pred / jnp.maximum(
+            jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12
+        )
+        return focal * (pred_n - f_bearing).reshape(-1)  # (3N,)
+
+    def step(carry, _):
+        R, t = carry
+        z6 = jnp.zeros(6, p_world.dtype)
+        r = residual(z6, R, t)  # (3N,)
+        # Huber IRLS weights on the per-point residual norm.
+        rn = jnp.linalg.norm(r.reshape(-1, 3), axis=-1)
+        w = base_w * jnp.minimum(1.0, huber_px / jnp.maximum(rn, 1e-12))
+        w3 = jnp.repeat(w, 3)
+        J = jax.jacfwd(residual)(z6, R, t)  # (3N, 6)
+        H = J.T @ (J * w3[:, None]) + 1e-6 * jnp.eye(6, dtype=J.dtype)
+        g = J.T @ (r * w3)
+        dx = -jnp.linalg.solve(H, g)
+        return (so3_exp(dx[:3]) @ R, t + dx[3:]), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    return R, t

@@ -130,7 +130,8 @@ class FleetVio:
 
         def one(left, right, nav, bias):
             fe_state, meas0 = pipe.frontend._init_state_impl(
-                jnp.asarray(left), jnp.asarray(right), jnp.float32(0.0)
+                jnp.asarray(left), jnp.asarray(right), jnp.float32(0.0),
+                pipe.frontend.remap_taps,
             )
             fe_state = fe_state.replace(
                 imu_bias=ImuBias(accel=bias[0:3], gyro=bias[3:6])

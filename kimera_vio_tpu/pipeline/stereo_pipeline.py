@@ -1001,20 +1001,28 @@ class StereoImuPipeline:
         # bootstrap transfers/dispatches (~0.1 s of tunnel time hidden).
         C = chunk_size
         # Lossless temporal-delta staging codec (ops/frame_codec.py): ships
-        # ~2.3x fewer bytes over the transfer-bound h2d link (3-tier
-        # delta3; delta4 as fallback); the device reconstructs exact
-        # frames (unpack + prefix-sum escape scatter + time cumsum), so
-        # trajectories are bit-identical to raw staging. Per-super-batch
-        # fallback to delta4/raw when the scene defeats the deltas.
-        codec = os.environ.get("KIMERA_STAGE_CODEC", "delta3")
+        # ~1.7x fewer bytes over the transfer-bound h2d link; the device
+        # reconstructs exact frames (unpack + scatter + time cumsum), so
+        # trajectories are bit-identical to raw staging. Default is delta4:
+        # delta3 ships ~25% fewer bytes still, but its decode needs
+        # full-length gathers + prefix sums over the flat pixel axis that
+        # cost more device time than the wire saving buys (measured on
+        # MicroEuroc/v5e: 18-22 fps e2e vs delta4's 68 — see ROADMAP round
+        # 5). KIMERA_STAGE_CODEC=delta3 keeps it available for slower
+        # links where the trade flips. Per-super-batch fallback to
+        # delta4/raw when the scene defeats the deltas.
+        codec = os.environ.get("KIMERA_STAGE_CODEC", "delta4")
         use_codec = codec != "raw"
         if rest:
             frame_bytes = 2 * int(
                 np.prod(provider.load_image(rest[0]["left_path"]).shape)
             )
-            # super_batch_bytes budgets WIRE bytes; delta3 frames cost
-            # ~0.45x raw, so more frames fit per transfer.
-            eff_bytes = (frame_bytes * 9) // 20 if use_codec else frame_bytes
+            # super_batch_bytes budgets WIRE bytes; delta-coded frames
+            # cost ~0.45-0.6x raw, so more frames fit per transfer.
+            _f = (9, 20) if codec == "delta3" else (3, 5)
+            eff_bytes = (
+                (frame_bytes * _f[0]) // _f[1] if use_codec else frame_bytes
+            )
             super_frames = max(
                 C, super_batch_bytes // max(eff_bytes, 1) // C * C
             )
@@ -1140,9 +1148,9 @@ class StereoImuPipeline:
         nav0, bias0 = self._bootstrap_state(provider, t0_ns, first["imu"])
         if not hasattr(self, "_bootstrap_fused"):
 
-            def _bootstrap_impl(pair, R0, p0, v0, b0):
+            def _bootstrap_impl(pair, R0, p0, v0, b0, remaps):
                 fe_state, meas0 = self.frontend._init_state_impl(
-                    pair[0], pair[1], jnp.float32(0.0)
+                    pair[0], pair[1], jnp.float32(0.0), remaps
                 )
                 fe_state = fe_state.replace(
                     imu_bias=ImuBias(accel=b0[0:3], gyro=b0[3:6])
@@ -1163,7 +1171,8 @@ class StereoImuPipeline:
 
             self._bootstrap_fused = jax.jit(_bootstrap_impl)
         fe_state, win, lmk = self._bootstrap_fused(
-            pair0, nav0.rot, nav0.pos, nav0.vel, bias0
+            pair0, nav0.rot, nav0.pos, nav0.vel, bias0,
+            self.frontend.remap_taps,
         )
         # Record the bootstrap state from the HOST-side values (a device
         # fetch costs ~30-80 ms on the tunnel; win slot 0 == nav0 exactly).
@@ -1676,7 +1685,19 @@ class StereoImuPipeline:
                 # Sequential determinism anchor: block every frame
                 # (reference parallel_run=0, Pipeline.cpp:197-215).
                 jax.block_until_ready(frame_out["pos"])
-            self.stats.add("vio_step [ms]", (time.perf_counter() - tic) * 1e3)
+            step_ms = (time.perf_counter() - tic) * 1e3
+            self.stats.add("vio_step [ms]", step_ms)
+            if not self.parallel_run:
+                # Frame-rate vs keyframe-rate attribution (the reference's
+                # "VioFrontend Frame Rate [ms]" / "Keyframe Rate [ms]"
+                # table rows, README.md:211-250). Sequential mode only:
+                # reading the keyframe flag forces a device sync.
+                self.stats.add(
+                    "VioFrontend Keyframe Rate [ms]"
+                    if bool(frame_out["is_keyframe"])
+                    else "VioFrontend Frame Rate [ms]",
+                    step_ms,
+                )
             out.n_frames += 1
             if aligner is not None:
                 if feed_aligner(packet, frame_out, stamp_ns):

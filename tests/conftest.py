@@ -18,3 +18,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent CPU compile cache for the test lane: without it every pytest
+# process recompiles the big step programs from scratch on this 1-core
+# host (the "fast" lane was >9 min, mostly compiles). The cache directory
+# is repo-local (survives /tmp cleanup) but NOT committed (.gitignore):
+# CPU executables are architecture-specific scratch.
+_cpu_cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu",
+)
+os.makedirs(_cpu_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cpu_cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

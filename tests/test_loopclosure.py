@@ -342,3 +342,127 @@ def test_gnc_downweights_subtle_outlier_loop():
     assert w[2] < 0.2 * min(w[0], w[1]), w
     # The solution stays near GT (the bad loop no longer drags it).
     assert np.linalg.norm(pos2 - gt_pos, axis=-1).max() < 0.2
+
+
+class TestRefinePose:
+    """Loop-pose refinement (reference refinePoses,
+    LoopClosureDetector.cpp:979): the refined pose must beat the raw
+    RANSAC pose on noisy correspondences with outliers."""
+
+    def _scene(self, seed=3, n=128, n_out=16, noise=0.02, out_mag=3.0):
+        from kimera_vio_tpu.common.geometry import so3_exp
+
+        rng = np.random.default_rng(seed)
+        p_q = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        p_q[:, 2] += 6.0
+        R_true = np.asarray(
+            so3_exp(jnp.asarray([0.15, -0.1, 0.25], jnp.float32))
+        )
+        t_true = np.array([0.8, -0.4, 0.3], np.float32)
+        p_m = p_q @ R_true.T + t_true
+        p_m_noisy = p_m + rng.normal(size=(n, 3)).astype(np.float32) * noise
+        d = rng.normal(size=(n_out, 3)).astype(np.float32)
+        d *= out_mag / np.linalg.norm(d, axis=-1, keepdims=True)
+        p_m_noisy[:n_out] += d
+        return p_q, p_m_noisy, R_true, t_true
+
+    def test_arun_refine_beats_ransac(self):
+        """Huber IRLS must beat the raw RANSAC refit when structured
+        outliers sit just inside the RANSAC gate (the case the
+        reference's refinePoses graph exists for): the unweighted
+        all-inlier Arun absorbs their bias, the Huber kernel rejects it.
+        """
+        from kimera_vio_tpu.ops import ransac
+
+        errs = {"raw": [], "ref": []}
+        for seed in range(4):
+            # Coherent outliers at 0.12 m, RANSAC gate at 0.2 m: every
+            # outlier passes the gate and drags the closed-form refit.
+            p_q, p_m, R_true, t_true = self._scene(
+                seed=seed, n_out=24, noise=0.01, out_mag=0.12
+            )
+            key = jax.random.PRNGKey(seed)
+            mask = jnp.ones(len(p_q), bool)
+            R0, t0, inl, n_inl = ransac.ransac_3pt_arun(
+                jnp.asarray(p_m), jnp.asarray(p_q), mask, key,
+                threshold=0.2,
+            )
+            R1, t1 = ransac.refine_arun_huber(
+                jnp.asarray(p_m), jnp.asarray(p_q), inl, R0, t0,
+                huber_m=0.03,
+            )
+            errs["raw"].append(np.linalg.norm(np.asarray(t0) - t_true))
+            errs["ref"].append(np.linalg.norm(np.asarray(t1) - t_true))
+            # Rotation error must not blow up either.
+            assert (
+                np.linalg.norm(np.asarray(R1) - R_true) <= 0.05
+            )
+        assert np.mean(errs["ref"]) < np.mean(errs["raw"])
+        assert np.mean(errs["ref"]) < 0.02
+
+    def test_pnp_refine_beats_ransac(self):
+        from kimera_vio_tpu.ops import ransac
+
+        errs = {"raw": [], "ref": []}
+        for seed in range(4):
+            p_q, p_m, R_true, t_true = self._scene(
+                seed=10 + seed, noise=0.0
+            )
+            # Bearings observed in the query camera with pixel-level noise:
+            # x_q = R_true^T (x_m - t_true).
+            R_cw = R_true.T
+            t_cw = -R_cw @ t_true
+            rng = np.random.default_rng(seed)
+            cam = p_m @ R_cw.T + t_cw
+            b = cam / np.linalg.norm(cam, axis=-1, keepdims=True)
+            b = b + rng.normal(size=b.shape).astype(np.float32) * 2e-3
+            b = (b / np.linalg.norm(b, axis=-1, keepdims=True)).astype(
+                np.float32
+            )
+            key = jax.random.PRNGKey(100 + seed)
+            mask = jnp.ones(len(p_q), bool)
+            R0, t0, inl, n_inl = ransac.ransac_pnp(
+                jnp.asarray(p_m), jnp.asarray(b), mask, key,
+                threshold=3.0, focal=450.0,
+            )
+            R1, t1 = ransac.refine_pnp_gn(
+                jnp.asarray(p_m), jnp.asarray(b), inl, R0, t0,
+                focal=450.0, huber_px=3.0,
+            )
+            errs["raw"].append(np.linalg.norm(np.asarray(t0) - t_cw))
+            errs["ref"].append(np.linalg.norm(np.asarray(t1) - t_cw))
+        assert np.mean(errs["ref"]) <= np.mean(errs["raw"]) + 1e-6
+        assert np.mean(errs["ref"]) < 0.05
+
+    def test_refine_pose_parsed_from_yaml(self):
+        from kimera_vio_tpu.config.params import LcdParams
+
+        p = LcdParams.from_yaml(
+            "/root/reference/params/Euroc/LcdParams.yaml"
+        )
+        assert p.refine_pose is True  # EuRoC yaml sets refine_pose: 1
+        assert LcdConfig.from_params(p).refine_pose is True
+
+
+def test_inverted_index_retention_bound():
+    """retain_keyframes evicts old keyframes from place recognition:
+    queries never return ids below the retention floor, and the postings
+    are physically pruned (memory bound O(retain x features))."""
+    rng = np.random.default_rng(0)
+    cb = rng.integers(0, 2**32, (64, 8), dtype=np.uint32)
+    vocab = BowVocabulary(jnp.asarray(cb), jnp.asarray(np.ones(64, np.float32)))
+    cfg = LcdConfig(recent_frames_window=2, retain_keyframes=16, n_features=8)
+    lcd = LoopClosureDetector(vocab, cfg)
+    for k in range(80):
+        bow = np.zeros(64, np.float32)
+        bow[rng.integers(0, 64, 6)] = 1.0
+        bow /= bow.sum()
+        lcd._insert_index(k, bow)
+        lcd.n_kf = k + 1
+    assert lcd._min_kf == 80 - 16
+    q = np.zeros(64, np.float32); q[:8] = 0.125
+    scores = lcd._query_index(q, 78)
+    assert (scores[: lcd._min_kf] == 0).all()
+    total = sum(len(v) for v in lcd._post_ids.values())
+    # Physical prune keeps only ~retain_keyframes x nnz entries.
+    assert total <= 2 * 16 * 6

@@ -41,11 +41,15 @@ def test_stats_table_format():
     # shape of Pipeline::printStatistics (README.md:211-250).
     lines = table.splitlines()
     assert lines[0] == "Statistics"
+    # Header carries the reference's column labels (README.md:212):
+    # `#  Log Hz  {avg +- std}  [min,max]`.
+    assert "Log Hz" in lines[1] and "avg" in lines[1]
     rows = [l for l in lines[2:] if l.strip()]
     assert len(rows) == 2
     assert rows[0].startswith("backend [ms]")
-    assert "#" in rows[0] and "+-" in rows[0] and "[" in rows[0]
-    assert "6.000" in rows[1]  # windowed mean of 5, 7
+    assert "+-" in rows[0] and "[" in rows[0]
+    assert "{6 +-" in rows[1]  # windowed mean of 5, 7
+    assert "[5," in rows[1] and "7]" in rows[1]
 
 
 def test_backend_logger_traj_vio_schema(tmp_path):
