@@ -552,10 +552,14 @@ class StereoImuPipeline:
         cfg = FrontendConfig.from_params(
             params.frontend, max_features=params.max_features
         )
-        # The Pallas LK kernel targets real TPUs (Mosaic); CPU runs use the
-        # XLA tracker (interpret-mode pallas would be much slower).
-        if jax.devices()[0].platform not in ("cpu",):
-            cfg = cfg.replace(use_pallas_lk=True)
+        # LK implementation: the matmul-form tracker with per-keyframe
+        # template cache is the measured winner on real TPU hardware
+        # (scripts/scanbench + profile_tpu tables, ROADMAP round 5); the
+        # Pallas kernel stays available via KIMERA_LK_IMPL=pallas for
+        # re-evaluation on future hardware.
+        lk_env = os.environ.get("KIMERA_LK_IMPL", "")
+        if lk_env in ("matmul", "gather", "pallas"):
+            cfg = cfg.replace(lk_impl=lk_env)
         return cfg
 
     # ------------------------------------------------------------------

@@ -64,8 +64,7 @@ def main():
 
     print(f"device: {jax.devices()[0]}")
     print(f"max_features={cfg.max_features} klt_win={cfg.klt_win} "
-          f"levels={cfg.klt_max_level} iters={cfg.klt_max_iter} "
-          f"pallas={cfg.use_pallas_lk}")
+          f"levels={cfg.klt_max_level} iters={cfg.klt_max_iter}")
 
     # ---- transfer bandwidth ----
     pairs = [np.stack([l, r]) for l, r in imgs]
@@ -127,10 +126,26 @@ def main():
             prev_grads=lkf_grads,
         )
 
+    # Matmul-form LK with the per-keyframe template cache (the production
+    # default, FrontendConfig.lk_impl="matmul").
+    templates = of.build_lk_templates(
+        lkf_pyr, feats.uv, feats.mask,
+        win=cfg.klt_win, prev_grads=lkf_grads,
+    )
+    jax.block_until_ready(templates)
+
+    def lk_matmul(cur_pyr, uv):
+        return of.klt_track_cached(
+            templates, list(cur_pyr), uv, feats.mask,
+            win=cfg.klt_win, max_iter=cfg.klt_max_iter, eps=cfg.klt_eps,
+        )
+
     uvs = [feats.uv + i * 0.01 for i in range(8)]
     timeit("LK pallas", jax.jit(lk_pallas),
            [(pyrs[i % len(pyrs)], uvs[i % 8]) for i in range(8)])
-    timeit("LK xla", jax.jit(lk_xla),
+    timeit("LK xla gather", jax.jit(lk_xla),
+           [(pyrs[i % len(pyrs)], uvs[i % 8]) for i in range(8)])
+    timeit("LK matmul+template-cache (default)", jax.jit(lk_matmul),
            [(pyrs[i % len(pyrs)], uvs[i % 8]) for i in range(8)])
 
     # ---- rectify + versors ----
