@@ -16,6 +16,7 @@ them exactly as it would env-var-set flags.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -81,10 +82,32 @@ def main(argv=None) -> int:
     equalize = args.equalize_image or getattr(
         params.frontend, "equalize_image", False
     )
+    # skip_n_start_frames / skip_n_end_frames (reference ETH_parser.cpp
+    # gflags) compose with the explicit --initial_k/--final_k window.
+    initial_k = flags.get_flag("initial_k") + flags.get_flag(
+        "skip_n_start_frames"
+    )
+    final_k = (
+        None if flags.get_flag("final_k") < 0 else flags.get_flag("final_k")
+    )
+    skip_end = flags.get_flag("skip_n_end_frames")
+    if skip_end:
+        if final_k is None:
+            import csv as _csv
+
+            cam_csv = os.path.join(
+                args.dataset_path, "mav0", "cam0", "data.csv"
+            )
+            if not os.path.exists(cam_csv):
+                cam_csv = os.path.join(args.dataset_path, "cam0", "data.csv")
+            with open(cam_csv) as fh:
+                n_total = sum(1 for row in fh if row and row[0] != "#")
+            final_k = n_total
+        final_k = max(initial_k, final_k - skip_end)
     provider = EurocDataProvider(
         args.dataset_path,
-        initial_k=flags.get_flag("initial_k"),
-        final_k=None if flags.get_flag("final_k") < 0 else flags.get_flag("final_k"),
+        initial_k=initial_k,
+        final_k=final_k,
         max_imu_per_frame=params.max_imu_per_frame,
         equalize=equalize,
         do_coarse_imu_camera_temporal_sync=(

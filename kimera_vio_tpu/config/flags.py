@@ -125,3 +125,75 @@ define_int(
     "dense_stereo_block_size", 9,
     "Dense block matcher SAD window (reference sad_window_size_)",
 )
+
+# ---- Mesher.cpp gflags (triangle filters + plane-segmentation
+# histograms); defaults mirror the reference's where our geometry uses
+# the same convention ----------------------------------------------------
+define_float(
+    "min_ratio_btw_largest_smallest_side", 0.5,
+    "Triangle filter: min smallest/largest side ratio (Mesher.cpp gflag, "
+    "default 0.5)",
+)
+define_float(
+    "min_elongation_ratio", 0.5,
+    "Triangle filter: min height/longest-side elongation ratio "
+    "(Mesher.cpp gflag, default 0.5)",
+)
+define_bool(
+    "reduce_mesh_to_time_horizon", True,
+    "Evict mesh triangles whose landmarks left the backend time horizon "
+    "(Mesher.cpp gflag reduce_mesh_to_time_horizon)",
+)
+define_int(
+    "z_histogram_bins", 512,
+    "Bins for the horizontal-plane z histogram (Mesher.cpp gflag)",
+)
+define_int(
+    "z_histogram_min_support", 20,
+    "Min votes for a z-histogram peak (Mesher.cpp gflag; reference "
+    "default 50 at 2000-triangle meshes — 20 matches our smaller "
+    "per-keyframe triangle budget)",
+)
+define_float(
+    "z_histogram_min_range", -4.0,
+    "Z histogram range minimum, world frame (Mesher.cpp gflag; reference "
+    "-0.75 assumes its camera-up convention)",
+)
+define_float(
+    "z_histogram_max_range", 4.0,
+    "Z histogram range maximum (Mesher.cpp gflag)",
+)
+define_int(
+    "hist_2d_theta_bins", 40,
+    "Theta bins of the wall (theta, d) histogram (Mesher.cpp gflag)",
+)
+define_int(
+    "hist_2d_distance_bins", 80,
+    "Distance bins of the wall (theta, d) histogram (Mesher.cpp gflag "
+    "hist_2d_distance_bins)",
+)
+define_int(
+    "hist_2d_min_support", 20,
+    "Min votes for a wall-histogram peak (Mesher.cpp gflag "
+    "hist_2d_min_support)",
+)
+define_bool(
+    "visualize_mesh_2d", False,
+    "Draw the per-keyframe 2D image-plane mesh into the display "
+    "artifacts (reference gflag visualize_mesh_2d / viz_type MESH2D)",
+)
+define_int(
+    "displayed_trajectory_length", -1,
+    "Trajectory widget keeps only the last N poses; -1 = all "
+    "(Visualizer3D.cpp gflag, reference default 50)",
+)
+define_int(
+    "skip_n_start_frames", 0,
+    "Skip this many initial frames (reference ETH_parser.cpp gflag; "
+    "composes with --initial_k)",
+)
+define_int(
+    "skip_n_end_frames", 0,
+    "Skip this many final frames (reference ETH_parser.cpp gflag; "
+    "composes with --final_k)",
+)

@@ -142,6 +142,7 @@ class EurocDataProvider:
         imu_time_shift_ns: int = 0,
         equalize: bool = False,
         do_coarse_imu_camera_temporal_sync: bool = False,
+        mono: bool = False,
     ):
         mav0 = dataset_path
         if os.path.isdir(os.path.join(dataset_path, "mav0")):
@@ -173,7 +174,9 @@ class EurocDataProvider:
 
         self.left_stamps, self.left_files = cam_list("cam0")
         right_dir = os.path.join(mav0, "cam1")
-        self.has_right = os.path.isdir(right_dir)
+        # mono=True feeds cam0 only (the reference MonoDataProviderModule
+        # parses the same EuRoC tree, MonoDataProviderModule.cpp).
+        self.has_right = (not mono) and os.path.isdir(right_dir)
         if self.has_right:
             self.right_stamps, self.right_files = cam_list("cam1")
 

@@ -212,15 +212,42 @@ class Mesher:
 
     def __init__(
         self,
-        max_triangle_side: float = 0.5,
-        min_side_ratio: float = 0.5,
+        max_triangle_side: float | None = None,
+        min_side_ratio: float | None = None,
         gravity_axis=np.array([0.0, 0.0, 1.0], np.float32),
     ):
-        self.max_triangle_side = max_triangle_side
-        self.min_side_ratio = min_side_ratio
+        # Defaults come from the gflags tier (config/flags.py), mirroring
+        # the reference's Mesher.cpp gflags; explicit args win.
+        from kimera_vio_tpu.config import flags as _flags
+
+        self.max_triangle_side = (
+            _flags.get_flag("max_triangle_side")
+            if max_triangle_side is None
+            else max_triangle_side
+        )
+        self.min_side_ratio = (
+            _flags.get_flag("min_ratio_btw_largest_smallest_side")
+            if min_side_ratio is None
+            else min_side_ratio
+        )
+        self.min_elongation_ratio = _flags.get_flag("min_elongation_ratio")
+        self.reduce_to_horizon = _flags.get_flag("reduce_mesh_to_time_horizon")
+        self._seg_flags = {
+            "z_bins": _flags.get_flag("z_histogram_bins"),
+            "z_min_support": _flags.get_flag("z_histogram_min_support"),
+            "z_min": _flags.get_flag("z_histogram_min_range"),
+            "z_max": _flags.get_flag("z_histogram_max_range"),
+            "theta_bins": _flags.get_flag("hist_2d_theta_bins"),
+            "dist_bins": _flags.get_flag("hist_2d_distance_bins"),
+            "wall_min_support": _flags.get_flag("hist_2d_min_support"),
+        }
         self.gravity_axis = jnp.asarray(gravity_axis)
         # time-horizon mesh: lmk-id-keyed triangles
         self._horizon: dict[tuple, np.ndarray] = {}
+        # Last keyframe's image-plane triangulation (reference gflag
+        # return_mesh_2d / viz_type MESH2D): (uv (N,2), tri indices (T,3)
+        # into uv, post-filter).
+        self.mesh_2d: tuple[np.ndarray, np.ndarray] | None = None
 
     def spin_once(
         self,
@@ -258,10 +285,15 @@ class Mesher:
             filter_triangles(
                 jnp.asarray(verts),
                 min_ratio_btw_largest_smallest_side=self.min_side_ratio,
+                min_elongation_ratio=self.min_elongation_ratio,
                 max_triangle_side=self.max_triangle_side,
             )
         )
         tri_ids, verts = tri_ids[keep], verts[keep]
+        # Image-plane 2D mesh of this keyframe (reference return_mesh_2d /
+        # viz_type MESH2D: pixel-position triangulation for display /
+        # semantic segmentation consumers).
+        self.mesh_2d = (uv, tris[keep])
         # Time-horizon: triangles keyed by sorted landmark-id triple; new
         # keyframes update positions, old triangles persist while their
         # landmarks stay in the horizon.
@@ -273,8 +305,9 @@ class Mesher:
 
     def _evict(self, horizon_ids):
         """Drop triangles whose landmarks left the time horizon
-        (updatePolygonMeshToTimeHorizon, Mesher.cpp:592)."""
-        if horizon_ids is None:
+        (updatePolygonMeshToTimeHorizon, Mesher.cpp:592; gated by the
+        reduce_mesh_to_time_horizon gflag like the reference)."""
+        if horizon_ids is None or not self.reduce_to_horizon:
             return
         dead = [
             k for k in self._horizon if not all(i in horizon_ids for i in k)
@@ -299,9 +332,18 @@ class Mesher:
         normals = triangle_normals(verts)
         keep = jnp.ones(mesh.n_triangles, bool)
         hn, hd, hv, _ = segment_horizontal_planes(
-            verts, keep, normals, self.gravity_axis
+            verts, keep, normals, self.gravity_axis,
+            z_min=self._seg_flags["z_min"],
+            z_max=self._seg_flags["z_max"],
+            n_bins=self._seg_flags["z_bins"],
+            min_support=self._seg_flags["z_min_support"],
         )
-        wn, wd, wv, _ = segment_walls(verts, keep, normals, self.gravity_axis)
+        wn, wd, wv, _ = segment_walls(
+            verts, keep, normals, self.gravity_axis,
+            n_theta=self._seg_flags["theta_bins"],
+            n_dist=self._seg_flags["dist_bins"],
+            min_support=self._seg_flags["wall_min_support"],
+        )
         planes = []
         for i in range(len(np.asarray(hv))):
             if np.asarray(hv)[i]:

@@ -174,8 +174,154 @@ def decode_delta4(base, packed, esc_idx, esc_val, shape):
     return out.astype(jnp.uint8).reshape(shape)
 
 
+# ---------------------------------------------------------------------------
+# delta4c: the delta4 codec on a CONSOLIDATED single-buffer wire.
+#
+# Two wire inefficiencies of delta4, measured on the axon tunnel:
+#   1. every super-batch ships 5 separate transfers (base, packed,
+#      esc_idx, esc_val, aux) and each h2d transfer pays ~28 ms fixed
+#      latency regardless of size;
+#   2. each escape costs 5 bytes (int32 flat index + uint8 value).
+# delta4c packs everything into ONE uint8 buffer per super-batch and
+# encodes escape positions as 2-byte GAP tokens (escapes are ~0.9% of
+# pixels, mean gap ~100): token 0 means "advance 65535 positions, no
+# escape" (a filler; real gaps are >= 1 so 0 is free), token g >= 1
+# means "advance g, escape here". Decode recovers positions with one
+# cumsum over the (small) token list + the same scatter as delta4 —
+# no full-pixel-axis work is added (the delta3 lesson: 68M-element
+# rank gathers are catastrophically slow on TPU).
+#
+# Buffer layout, all offsets static given (shape, n_tok, aux_shape):
+#   [ base: S ][ packed: (F-1)*S/2 ][ tok_lo: E ][ tok_hi: E ]
+#   [ val: E ][ aux byte-planes: 4 * A ][ pad to 64 KiB multiple ]
+# aux (float32) rides the same buffer as 4 byte planes; the device
+# rebuilds uint32 with shifts and bitcasts to float32 (exact).
+# ---------------------------------------------------------------------------
+
+_TOK_SPAN = 65535  # filler token advance (token value 0)
+
+
+def _gap_tokens(esc_idx: np.ndarray, esc_val: np.ndarray):
+    """Escape flat indices -> (uint16 gap tokens, aligned uint8 values).
+
+    Token 0 = filler (+65535, no escape); token g in [1, 65535] = the
+    gap to the next escape (positions are strictly increasing, so every
+    real gap is >= 1). Fillers carry value 0 (dropped by the decoder)."""
+    if len(esc_idx) == 0:
+        return np.zeros(0, np.uint16), np.zeros(0, np.uint8)
+    gaps = np.diff(esc_idx.astype(np.int64), prepend=-1)
+    k = (gaps - 1) // _TOK_SPAN  # fillers needed before each real token
+    pos = np.cumsum(k + 1) - 1  # position of each real token
+    n_tok = int(pos[-1]) + 1
+    toks = np.zeros(n_tok, np.uint16)
+    toks[pos] = (gaps - k * _TOK_SPAN).astype(np.uint16)
+    vals = np.zeros(n_tok, np.uint8)
+    vals[pos] = esc_val
+    return toks, vals
+
+
+_PAD_TO = 65536  # total-buffer pad granularity (bounds specializations)
+
+
+def encode_delta4c(frames: np.ndarray, aux: np.ndarray,
+                   esc_cap: int | None = None):
+    """Encode frames + the float32 aux block into ONE uint8 wire buffer.
+
+    Returns {buf, shape, n_tok, aux_shape} or None when delta4 does not
+    apply (caller falls back to raw staging)."""
+    enc = encode_delta4(frames, esc_cap)
+    if enc is None:
+        return None
+    aux = np.ascontiguousarray(aux, np.float32)
+    F = frames.shape[0]
+    S = int(np.prod(frames.shape[1:]))
+    # Recover the un-padded escape list (encode_delta4 pads with
+    # index == (F-1)*S which _gap_tokens must not see).
+    oob = (F - 1) * S
+    idx = enc["esc_idx"]
+    n_real = int(np.searchsorted(idx, oob))
+    toks, vals = _gap_tokens(idx[:n_real], enc["esc_val"][:n_real])
+    # Bucket the token count like delta4 buckets its escape list: the
+    # decode program specializes on n_tok. Filler tokens are a natural
+    # pad (advance without escaping).
+    toks = _pad_bucket(toks, 8192)
+    vals = _pad_bucket(vals, 8192)
+    A = aux.size
+    aux_planes = aux.reshape(-1).view(np.uint8).reshape(A, 4).T
+    parts = [
+        enc["base"].reshape(-1),
+        enc["packed"].reshape(-1),
+        (toks & 0xFF).astype(np.uint8),
+        (toks >> 8).astype(np.uint8),
+        vals,
+        np.ascontiguousarray(aux_planes).reshape(-1),
+    ]
+    total = sum(p.nbytes for p in parts)
+    pad = (-total) % _PAD_TO
+    buf = np.empty(total + pad, np.uint8)
+    o = 0
+    for p in parts:
+        buf[o : o + p.nbytes] = p
+        o += p.nbytes
+    buf[o:] = 0
+    return {
+        "buf": buf,
+        "shape": tuple(frames.shape),
+        "n_tok": int(toks.size),
+        "aux_shape": tuple(aux.shape),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "n_tok", "aux_shape")
+)
+def decode_delta4c(buf, shape, n_tok, aux_shape):
+    """One wire buffer -> (exact uint8 frames, exact float32 aux)."""
+    F = shape[0]
+    S = int(np.prod(shape[1:]))
+    E = n_tok
+    P = (F - 1) * S // 2
+    o = 0
+    base = jax.lax.slice_in_dim(buf, o, o + S); o += S
+    packed = jax.lax.slice_in_dim(buf, o, o + P); o += P
+    tok_lo = jax.lax.slice_in_dim(buf, o, o + E); o += E
+    tok_hi = jax.lax.slice_in_dim(buf, o, o + E); o += E
+    vals = jax.lax.slice_in_dim(buf, o, o + E); o += E
+    A = int(np.prod(aux_shape))
+    planes = jax.lax.slice_in_dim(buf, o, o + 4 * A).reshape(4, A)
+    # Escape positions from gap tokens: one small cumsum (E ~ 1e6 vs
+    # the 68M pixel axis), fillers advance 65535 and scatter nothing.
+    tok = tok_lo.astype(jnp.int32) | (tok_hi.astype(jnp.int32) << 8)
+    adv = jnp.where(tok == 0, _TOK_SPAN, tok)
+    pos = jnp.cumsum(adv) - 1
+    idx = jnp.where(tok == 0, (F - 1) * S, pos)
+    # Same reconstruction as decode_delta4 from here.
+    low = packed & 0xF
+    high = packed >> 4
+    nib = jnp.stack([low, high], axis=-1).reshape(F - 1, S)
+    d8 = jnp.where(nib == _ESCAPE, jnp.uint8(0), nib - jnp.uint8(8))
+    d8 = d8.reshape(-1).at[idx].set(vals, mode="drop").reshape(F - 1, S)
+    cum = base.reshape(1, S).astype(jnp.int32) + jnp.cumsum(
+        d8.astype(jnp.int32), axis=0
+    )
+    out = jnp.concatenate(
+        [base.reshape(1, S).astype(jnp.int32), cum], axis=0
+    )
+    frames = out.astype(jnp.uint8).reshape(shape)
+    u32 = (
+        planes[0].astype(jnp.uint32)
+        | (planes[1].astype(jnp.uint32) << 8)
+        | (planes[2].astype(jnp.uint32) << 16)
+        | (planes[3].astype(jnp.uint32) << 24)
+    )
+    aux = jax.lax.bitcast_convert_type(u32, jnp.float32).reshape(aux_shape)
+    return frames, aux
+
+
 def wire_bytes(enc) -> int:
     """Bytes this encoding puts on the host->device link."""
+    if "buf" in enc:
+        return enc["buf"].nbytes
     if "t1" in enc:
         return (
             enc["base"].nbytes

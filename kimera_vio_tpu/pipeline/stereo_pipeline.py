@@ -44,8 +44,10 @@ from kimera_vio_tpu.frontend.vision_frontend import (
 from kimera_vio_tpu.ops.frame_codec import (
     decode_delta3,
     decode_delta4,
+    decode_delta4c,
     encode_delta3,
     encode_delta4,
+    encode_delta4c,
     wire_bytes,
 )
 from kimera_vio_tpu.utils.logger import BackendLogger, FrontendLogger
@@ -379,12 +381,19 @@ class StereoImuPipeline:
             tri_idx = np.arange(len(verts)).reshape(-1, 3)
             self._mesher_logger.log(verts, tri_idx)
         if visualizer is not None:
+            show_2d = (
+                _flags.get_flag("visualize_mesh_2d")
+                and mesher is not None
+                and mesher.mesh_2d is not None
+            )
             w = visualizer.spin_once(
                 pose_R, pose_t,
                 np.asarray(fo["lmk_points"]),
                 np.asarray(fo["lmk_valid"]),
                 np.asarray(fo["lmk_ids"]),
                 mesh=mesh,
+                mesh_2d=mesher.mesh_2d if show_2d else None,
+                image=np.asarray(left) if show_2d else None,
             )
             display.spin_once(w)
         return win
@@ -940,7 +949,12 @@ class StereoImuPipeline:
         dispatches with batched image staging and lagged async readback.
 
         Equivalent trajectory to `run()` (same fused per-frame program,
-        scanned); differs only in host choreography. `collect_aux=True`
+        scanned); differs only in host choreography. Equivalence is
+        algorithmic, not bitwise: the scanned program fuses differently
+        than the per-frame one, and on real imagery last-ulp rounding can
+        flip a RANSAC/track gate (measured on MicroEuroc: identical
+        keyframe cadence, trajectories within ~2.5 cm at near-hover; the
+        synthetic fixtures agree to <1e-3). `collect_aux=True`
         additionally returns per-frame landmark/keypoint fields and drives
         the keyframe-paced aux modules (mesher / LCD / RegularVIO plane
         feedback), matching `run()`'s aux path with chunk-lagged feedback.
@@ -1015,7 +1029,7 @@ class StereoImuPipeline:
         # 5). KIMERA_STAGE_CODEC=delta3 keeps it available for slower
         # links where the trade flips. Per-super-batch fallback to
         # delta4/raw when the scene defeats the deltas.
-        codec = os.environ.get("KIMERA_STAGE_CODEC", "delta4")
+        codec = os.environ.get("KIMERA_STAGE_CODEC", "delta4c")
         use_codec = codec != "raw"
         if rest:
             frame_bytes = 2 * int(
@@ -1058,16 +1072,34 @@ class StereoImuPipeline:
                 if i < n_real:
                     aux[i, B * 7 : B * 8] = np.asarray(blk.mask, np.float32)
                 aux[i, B * 8] = (p["stamp_ns"] - t0_ns - shift_ns) * 1e-9
+            enc4c = (
+                encode_delta4c(imgs, aux)
+                if use_codec and codec == "delta4c"
+                else None
+            )
             enc3 = (
                 encode_delta3(imgs)
-                if use_codec and codec != "delta4"
+                if use_codec and codec == "delta3"
                 else None
             )
             self.stats.add(
                 "stage encode [ms]", (time.perf_counter() - tic) * 1e3
             )
             tic = time.perf_counter()
-            if enc3 is not None:
+            if enc4c is not None:
+                # ONE transfer per super-batch: frames + escapes + aux in
+                # a single uint8 buffer (each h2d transfer pays ~28 ms
+                # fixed latency on this link — see ops/frame_codec.py).
+                payload = (
+                    "delta4c",
+                    jnp.asarray(enc4c["buf"]),
+                    enc4c["shape"],
+                    enc4c["n_tok"],
+                    enc4c["aux_shape"],
+                    B,
+                )
+                mb = wire_bytes(enc4c) / 1e6
+            elif enc3 is not None:
                 wire = (
                     jnp.asarray(enc3["base"]),
                     jnp.asarray(enc3["t1"]),
@@ -1101,6 +1133,10 @@ class StereoImuPipeline:
 
         def materialize(payload):
             """Staged payload -> (imgs_super_batch, aux, B) on device."""
+            if payload[0] == "delta4c":
+                _, buf, shape, n_tok, aux_shape, B = payload
+                imgs, aux = decode_delta4c(buf, shape, n_tok, aux_shape)
+                return imgs, aux, B
             if payload[0] == "delta3":
                 _, (base, t1, t2, t3, shape), aux, B = payload
                 return decode_delta3(base, t1, t2, t3, shape), aux, B
@@ -1559,7 +1595,11 @@ class StereoImuPipeline:
             )
 
             visualizer = Visualizer3D()
-            display = FileDisplay(self.logger and "viz_out" or "/tmp/viz_out")
+            display = FileDisplay(
+                os.path.join(self.output_path, "viz")
+                if self.output_path
+                else "/tmp/viz_out"
+            )
         aux_lag = 8
         aux_queue = []  # (stamp_ns, frame_out, left, right)
 

