@@ -223,16 +223,137 @@ def _gap_tokens(esc_idx: np.ndarray, esc_val: np.ndarray):
 _PAD_TO = 65536  # total-buffer pad granularity (bounds specializations)
 
 
+def _finish_delta4c(buf, S, P, toks, vals, n_tok, aux, shape):
+    """Write tokens + aux byte-planes into `buf` after base/packed and
+    return the wire dict. `buf` must already hold base at [0:S] and
+    packed nibbles at [S:S+P]; toks/vals are the first n_tok entries of
+    the scratch arrays."""
+    E = 8192 if n_tok <= 8192 else -(-n_tok // 8192) * 8192
+    A = aux.size
+    total = S + P + 3 * E + 4 * A
+    pad = (-total) % _PAD_TO
+    assert total + pad <= buf.size
+    o = S + P
+    t = toks[:n_tok]
+    buf[o : o + n_tok] = (t & 0xFF).astype(np.uint8)
+    buf[o + n_tok : o + E] = 0
+    o += E
+    buf[o : o + n_tok] = (t >> 8).astype(np.uint8)
+    buf[o + n_tok : o + E] = 0
+    o += E
+    buf[o : o + n_tok] = vals[:n_tok]
+    buf[o + n_tok : o + E] = 0
+    o += E
+    planes = aux.reshape(-1).view(np.uint8).reshape(A, 4).T
+    buf[o : o + 4 * A] = np.ascontiguousarray(planes).reshape(-1)
+    o += 4 * A
+    buf[o : o + pad] = 0
+    return {
+        "buf": buf[: total + pad],
+        "shape": tuple(shape),
+        "n_tok": E,
+        "aux_shape": tuple(aux.shape),
+    }
+
+
+def _encode4c_native(planes, n_planes, shape, aux, tok_cap):
+    """Fused single-pass C++ encoder (native/delta4c.cpp): reads the
+    original image planes through a pointer table and writes base +
+    packed nibbles directly into the wire buffer (no np.stack, no
+    concat — the staging thread of a 1-core host is on the critical
+    path). Returns the wire dict, "overflow", or None (no toolchain)."""
+    from kimera_vio_tpu import native
+
+    lib = native.load("delta4c")
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    F = shape[0]
+    S = int(np.prod(shape[1:]))
+    plane_sz = S // n_planes
+    if plane_sz % 2:
+        return None
+    P = (F - 1) * S // 2
+    A = aux.size
+    buf = np.empty(S + P + 3 * (-(-tok_cap // 8192) * 8192) + 4 * A + _PAD_TO, np.uint8)
+    toks = np.empty(tok_cap, np.uint16)
+    vals = np.empty(tok_cap, np.uint8)
+    PTR = ct.POINTER(ct.c_uint8)
+    ptrs = (PTR * len(planes))(
+        *[p.ctypes.data_as(PTR) for p in planes]
+    )
+    fn = lib.delta4c_encode
+    fn.restype = ct.c_longlong
+    n_tok = fn(
+        ptrs, ct.c_longlong(n_planes), ct.c_longlong(F),
+        ct.c_longlong(plane_sz),
+        buf.ctypes.data_as(PTR),
+        buf[S:].ctypes.data_as(PTR),
+        toks.ctypes.data_as(ct.POINTER(ct.c_uint16)),
+        vals.ctypes.data_as(PTR),
+        ct.c_longlong(tok_cap),
+    )
+    if n_tok < 0:
+        return "overflow"
+    return _finish_delta4c(buf, S, P, toks, vals, int(n_tok), aux, shape)
+
+
+def encode_delta4c_planes(planes: list, n_planes: int, shape, aux):
+    """Encode per-frame image planes (no pre-stacking) + the float32 aux
+    block into ONE wire buffer. `planes` lists F * n_planes contiguous
+    uint8 arrays; logical frame t = planes[t*n_planes : (t+1)*n_planes]
+    back to back; `shape` is the decoded (F, ...) shape. Returns the
+    wire dict or None (caller falls back to stacked / raw staging)."""
+    F = shape[0]
+    if F < 2:
+        return None
+    S = int(np.prod(shape[1:]))
+    aux = np.ascontiguousarray(aux, np.float32)
+    if any(p.dtype != np.uint8 or not p.flags.c_contiguous for p in planes):
+        return None
+    tok_cap = _default_esc_cap(F, S) + 1024
+    if os.environ.get("KIMERA_DELTA4_NATIVE", "1") != "0":
+        enc = _encode4c_native(planes, n_planes, shape, aux, tok_cap)
+        if enc == "overflow":
+            return None
+        if enc is not None:
+            return enc
+    stacked = np.stack([p.reshape(-1) for p in planes]).reshape(
+        F, n_planes * (planes[0].size)
+    )
+    return encode_delta4c(stacked.reshape(shape), aux)
+
+
 def encode_delta4c(frames: np.ndarray, aux: np.ndarray,
                    esc_cap: int | None = None):
     """Encode frames + the float32 aux block into ONE uint8 wire buffer.
 
     Returns {buf, shape, n_tok, aux_shape} or None when delta4 does not
     apply (caller falls back to raw staging)."""
+    aux = np.ascontiguousarray(aux, np.float32)
+    if (
+        frames.dtype == np.uint8
+        and frames.ndim >= 2
+        and frames.shape[0] >= 2
+        and frames.flags.c_contiguous
+        and os.environ.get("KIMERA_DELTA4_NATIVE", "1") != "0"
+        and esc_cap is None
+    ):
+        F = frames.shape[0]
+        S = int(np.prod(frames.shape[1:]))
+        if S % 2 == 0:
+            enc = _encode4c_native(
+                list(frames.reshape(F, S)), 1, frames.shape, aux,
+                _default_esc_cap(F, S) + 1024,
+            )
+            if enc == "overflow":
+                return None
+            if enc is not None:
+                return enc
     enc = encode_delta4(frames, esc_cap)
     if enc is None:
         return None
-    aux = np.ascontiguousarray(aux, np.float32)
     F = frames.shape[0]
     S = int(np.prod(frames.shape[1:]))
     # Recover the un-padded escape list (encode_delta4 pads with
@@ -241,35 +362,17 @@ def encode_delta4c(frames: np.ndarray, aux: np.ndarray,
     idx = enc["esc_idx"]
     n_real = int(np.searchsorted(idx, oob))
     toks, vals = _gap_tokens(idx[:n_real], enc["esc_val"][:n_real])
-    # Bucket the token count like delta4 buckets its escape list: the
-    # decode program specializes on n_tok. Filler tokens are a natural
-    # pad (advance without escaping).
-    toks = _pad_bucket(toks, 8192)
-    vals = _pad_bucket(vals, 8192)
+    P = (F - 1) * S // 2
     A = aux.size
-    aux_planes = aux.reshape(-1).view(np.uint8).reshape(A, 4).T
-    parts = [
-        enc["base"].reshape(-1),
-        enc["packed"].reshape(-1),
-        (toks & 0xFF).astype(np.uint8),
-        (toks >> 8).astype(np.uint8),
-        vals,
-        np.ascontiguousarray(aux_planes).reshape(-1),
-    ]
-    total = sum(p.nbytes for p in parts)
-    pad = (-total) % _PAD_TO
-    buf = np.empty(total + pad, np.uint8)
-    o = 0
-    for p in parts:
-        buf[o : o + p.nbytes] = p
-        o += p.nbytes
-    buf[o:] = 0
-    return {
-        "buf": buf,
-        "shape": tuple(frames.shape),
-        "n_tok": int(toks.size),
-        "aux_shape": tuple(aux.shape),
-    }
+    buf = np.empty(
+        S + P + 3 * max(-(-toks.size // 8192) * 8192, 8192) + 4 * A + _PAD_TO,
+        np.uint8,
+    )
+    buf[:S] = enc["base"].reshape(-1)
+    buf[S : S + P] = enc["packed"].reshape(-1)
+    return _finish_delta4c(
+        buf, S, P, toks, vals, toks.size, aux, frames.shape
+    )
 
 
 @functools.partial(

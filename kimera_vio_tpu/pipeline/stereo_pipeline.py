@@ -48,6 +48,7 @@ from kimera_vio_tpu.ops.frame_codec import (
     encode_delta3,
     encode_delta4,
     encode_delta4c,
+    encode_delta4c_planes,
     wire_bytes,
 )
 from kimera_vio_tpu.utils.logger import BackendLogger, FrontendLogger
@@ -1052,15 +1053,12 @@ class StereoImuPipeline:
             n_real = len(batch)
             n_pad = (-n_real) % C
             padded = batch + [batch[-1]] * n_pad
-            lefts = np.stack(
-                [provider.load_image(p["left_path"]) for p in padded]
-            )
-            rights = (
-                np.stack([provider.load_image(p["right_path"]) for p in padded])
+            left_imgs = [provider.load_image(p["left_path"]) for p in padded]
+            right_imgs = (
+                [provider.load_image(p["right_path"]) for p in padded]
                 if "right_path" in batch[0]
-                else lefts
+                else left_imgs
             )
-            imgs = np.stack([lefts, rights], axis=1)  # (F,2,H,W)
             B = batch[0]["imu"].capacity
             F = len(padded)
             aux = np.zeros((F, B * 8 + 1), np.float32)
@@ -1072,14 +1070,32 @@ class StereoImuPipeline:
                 if i < n_real:
                     aux[i, B * 7 : B * 8] = np.asarray(blk.mask, np.float32)
                 aux[i, B * 8] = (p["stamp_ns"] - t0_ns - shift_ns) * 1e-9
-            enc4c = (
-                encode_delta4c(imgs, aux)
-                if use_codec and codec == "delta4c"
-                else None
-            )
+            # delta4c reads the original image planes through a pointer
+            # table (native fused encoder) — the (F,2,H,W) stack is only
+            # materialized for the fallback codecs / raw staging.
+            enc4c = None
+            if use_codec and codec == "delta4c":
+                planes = [
+                    im
+                    for pair in zip(left_imgs, right_imgs)
+                    for im in pair
+                ]
+                if all(
+                    isinstance(im, np.ndarray) and im.dtype == np.uint8
+                    for im in planes
+                ):
+                    H, W = left_imgs[0].shape[:2]
+                    enc4c = encode_delta4c_planes(
+                        planes, 2, (F, 2, H, W), aux
+                    )
+            imgs = None
+            if enc4c is None:
+                imgs = np.stack(
+                    [np.stack(left_imgs), np.stack(right_imgs)], axis=1
+                )  # (F,2,H,W)
             enc3 = (
                 encode_delta3(imgs)
-                if use_codec and codec == "delta3"
+                if use_codec and codec == "delta3" and imgs is not None
                 else None
             )
             self.stats.add(

@@ -17,6 +17,7 @@ to f32 roundoff against jax.jacfwd.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import kimera_vio_tpu.backend.smoother as sm
 from kimera_vio_tpu.common import geometry as geo
@@ -74,6 +75,7 @@ def _check_pair_block(Ji, Jj, r, resid, k, rtol=2e-4, atol=2e-4):
     )
 
 
+@pytest.mark.lane2
 def test_no_motion_jacobians_match_autodiff():
     K = 5
     win = _random_window(K, seed=1)
@@ -136,6 +138,7 @@ def test_const_vel_jacobians_match_autodiff():
     _check_pair_block(Ji, Jj, r, resid, 2)
 
 
+@pytest.mark.lane2
 def test_smart_factor_schur_matches_autodiff():
     """Full check of the smart-factor Gauss-Newton system: build F/E per
     landmark by jacfwd of the whitened reprojection residual, Schur-

@@ -263,3 +263,40 @@ def test_delta4c_beats_delta4_on_wire_bytes():
     e4c = _roundtrip4c(stack, aux)
     e4 = encode_delta4(stack)
     assert wire_bytes(e4c) < wire_bytes(e4) + aux.nbytes
+
+
+def test_delta4c_native_matches_numpy(monkeypatch):
+    """The fused C++ encoder (native/delta4c.cpp: plane pointer table ->
+    wire buffer in one pass) is bit-identical to the numpy path,
+    gap-token stream included."""
+    from kimera_vio_tpu import native
+    from kimera_vio_tpu.ops import frame_codec as fc
+
+    if native.load("delta4c") is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (2, 40, 50), np.int16)
+    frames = [base]
+    for _ in range(7):
+        step = rng.integers(-6, 7, base.shape)
+        jump = rng.random(base.shape) < 0.01
+        step = np.where(jump, rng.integers(-200, 200, base.shape), step)
+        frames.append(np.clip(frames[-1] + step, 0, 255))
+    stack = np.ascontiguousarray(np.stack(frames).astype(np.uint8))
+    aux = rng.standard_normal((8, 33)).astype(np.float32)
+    monkeypatch.setenv("KIMERA_DELTA4_NATIVE", "0")
+    enc_np = fc.encode_delta4c(stack, aux)
+    monkeypatch.setenv("KIMERA_DELTA4_NATIVE", "1")
+    enc_cc = fc.encode_delta4c(stack, aux)
+    assert enc_np["n_tok"] == enc_cc["n_tok"]
+    np.testing.assert_array_equal(enc_np["buf"], enc_cc["buf"])
+    # Planes API (the stager's path: per-frame left/right, no stacking).
+    planes = [p for fr in stack for p in (fr[0], fr[1])]
+    enc_pl = fc.encode_delta4c_planes(planes, 2, stack.shape, aux)
+    np.testing.assert_array_equal(enc_pl["buf"], enc_cc["buf"])
+    # And it still roundtrips exactly.
+    f, a = fc.decode_delta4c(
+        enc_pl["buf"], enc_pl["shape"], enc_pl["n_tok"], enc_pl["aux_shape"]
+    )
+    np.testing.assert_array_equal(np.asarray(f), stack)
+    np.testing.assert_array_equal(np.asarray(a), aux)

@@ -48,6 +48,7 @@ def numpy_preintegrate(acc, gyr, dts, bias_a=np.zeros(3), bias_g=np.zeros(3)):
     return dR, dv, dp
 
 
+@pytest.mark.lane2
 def test_matches_numpy_reference_integration():
     rng = np.random.default_rng(0)
     n = 20
@@ -112,6 +113,7 @@ def test_constant_acceleration_prediction():
     )
 
 
+@pytest.mark.lane2
 def test_constant_rotation():
     w_body = np.array([0.0, 0.0, 1.0])  # 1 rad/s yaw
     n, dt = 200, 0.005

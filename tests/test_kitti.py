@@ -89,6 +89,7 @@ def test_kitti_provider_packets(tmp_path):
     assert "right_path" in packets[0]
 
 
+@pytest.mark.lane2
 def test_kitti_through_pipeline_step(tmp_path):
     """Packets drive one bootstrap + one fused pipeline step (IMU-attitude
     init path: KITTI has no GT csv here)."""

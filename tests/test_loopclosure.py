@@ -222,6 +222,7 @@ class TestFrameCacheBoundsMemory:
     verification fetches evicted payloads back from disk
     (reference FrameCache.cpp:23,40-108)."""
 
+    @pytest.mark.lane2
     def test_lcd_memory_bounded_and_disk_fetch(self, tmp_path):
         from kimera_vio_tpu.loopclosure.frame_cache import FrameCache
         from kimera_vio_tpu.loopclosure.lcd import LcdConfig, LoopClosureDetector
@@ -400,6 +401,7 @@ class TestRefinePose:
         assert np.mean(errs["ref"]) < np.mean(errs["raw"])
         assert np.mean(errs["ref"]) < 0.02
 
+    @pytest.mark.lane2
     def test_pnp_refine_beats_ransac(self):
         from kimera_vio_tpu.ops import ransac
 

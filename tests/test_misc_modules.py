@@ -134,6 +134,7 @@ def test_playground(tmp_path):
         pass
 
 
+@pytest.mark.lane2
 def test_frontend_debug_imagery(tmp_path):
     """--log_frontend_images writes per-keyframe feature-track overlay
     PNGs (reference logFrontendImg, StereoVisionImuFrontend.cpp:540,599)."""

@@ -47,6 +47,7 @@ def run_track(prev, cur, pts, init=None, **kw):
     return np.asarray(out), np.asarray(ok)
 
 
+@pytest.mark.lane2
 def test_subpixel_translation():
     img = textured_image()
     dx, dy = 1.3, -0.7
@@ -89,6 +90,7 @@ def test_flat_regions_rejected():
 
 
 @pytest.mark.skipif(not os.path.exists(REAL_IMG), reason="no reference image")
+@pytest.mark.lane2
 def test_matches_opencv_on_real_image():
     cv2 = pytest.importorskip("cv2")
     img = cv2.imread(REAL_IMG, cv2.IMREAD_GRAYSCALE).astype(np.float32)

@@ -43,6 +43,7 @@ def _set_rebase(pipe, interval, margin):
     pipe._n_rebases = 0
 
 
+@pytest.mark.lane2
 def test_run_rebase_is_output_neutral(pipe_and_provider):
     pipe, prov = pipe_and_provider
     # Baseline: default thresholds never fire on a 7 s sequence.

@@ -91,6 +91,7 @@ def test_sym3_min_eig_isotropic_and_rank_deficient():
     assert abs(lam) < 1e-6
 
 
+@pytest.mark.lane2
 def test_triangulate_rays_oracle_parity():
     """triangulate_stereo_landmarks' closed-form normal-equation path
     agrees with the generic triangulate_rays oracle on a toy scene."""
