@@ -52,6 +52,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--max_features", type=int, default=None)
     ap.add_argument("--max_landmarks", type=int, default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--gflag", action="append", default=[], metavar="NAME=VALUE",
+        help="set any registered runtime flag (the reference's gflags "
+        "tier; see kimera_vio_tpu/config/flags.py for the registry, "
+        "e.g. --gflag max_triangle_side=0.7 --gflag visualize_mesh_2d=1)",
+    )
     return ap
 
 
@@ -72,6 +78,21 @@ def main(argv=None) -> int:
     flags.set_flag("initial_k", args.initial_k)
     flags.set_flag("final_k", args.final_k)
     flags.set_flag("output_path", args.output_path)
+    # Generic gflags tier: --gflag name=value, typed via the registry
+    # (reference binaries accept every gflag on the command line).
+    for item in args.gflag:
+        name, _, raw = item.partition("=")
+        if not _ or name not in flags._REGISTRY:
+            known = ", ".join(sorted(flags._REGISTRY))
+            raise SystemExit(
+                f"--gflag {item!r}: unknown flag or missing '='; "
+                f"registered flags: {known}"
+            )
+        typ = flags._REGISTRY[name].type
+        if typ is bool:
+            flags.set_flag(name, raw.lower() in ("1", "true", "yes"))
+        else:
+            flags.set_flag(name, typ(raw))
 
     params = VioParams.from_folder(args.params_folder)
     if args.max_features:

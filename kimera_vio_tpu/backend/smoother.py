@@ -1019,9 +1019,18 @@ def bootstrap(
     nav: NavState,
     bias: jax.Array,  # (6,)
     stamp: jax.Array,
+    vel_sigma: float | None = None,
 ) -> Window:
     """Install the first keyframe state with initial priors
-    (reference initStateAndSetPriors, VioBackend.h:143-194)."""
+    (reference initStateAndSetPriors, VioBackend.h:143-194).
+
+    `vel_sigma` overrides cfg.init_vel_sigma: the online-initialization
+    collection phase (autoInitialize: 2) bootstraps with a crude
+    zero-velocity GUESS whose true value is unknown until the
+    visual-inertial alignment solves for it — a loose prior there keeps
+    the tight config sigma (meant for known-state init) from pinning the
+    whole IMU chain at rest (the reference never runs its backend before
+    the alignment, so it never faces this state)."""
     K = cfg.nr_states
     win = win.replace(
         rot=win.rot.at[0].set(nav.rot),
@@ -1053,7 +1062,11 @@ def bootstrap(
     blocks = [
         Info_rot_b,
         jnp.eye(3) / clamp(cfg.init_pos_sigma) ** 2,
-        jnp.eye(3) / clamp(cfg.init_vel_sigma) ** 2,
+        jnp.eye(3)
+        / clamp(
+            cfg.init_vel_sigma if vel_sigma is None else jnp.float32(vel_sigma)
+        )
+        ** 2,
         jnp.eye(3) / clamp(cfg.init_ba_sigma) ** 2,
         jnp.eye(3) / clamp(cfg.init_bg_sigma) ** 2,
     ]

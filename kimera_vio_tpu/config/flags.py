@@ -197,3 +197,22 @@ define_int(
     "Skip this many final frames (reference ETH_parser.cpp gflag; "
     "composes with --final_k)",
 )
+
+# ---- OnlineGravityAlignment.cpp / Pipeline.cpp init gflags -------------
+define_int(
+    "num_iterations_gravity_refinement", 4,
+    "Iterations of the gravity magnitude-manifold refinement "
+    "(OnlineGravityAlignment.cpp gflag, default 4)",
+)
+define_float(
+    "gyroscope_residuals", 0.05,
+    "Max allowed mean rotation residual [rad] after the estimated "
+    "gyro-bias correction; above it the online init window is rejected "
+    "and re-collected (OnlineGravityAlignment.cpp gflag)",
+)
+define_int(
+    "num_frames_vio_init", 8,
+    "Keyframes collected for online initialization (reference "
+    "Pipeline.cpp gflag num_frames_vio_init, default 25 there — the "
+    "metric stereo-VO alignment here converges from fewer)",
+)

@@ -35,9 +35,20 @@ from kimera_vio_tpu.initial.gravity_alignment import (
 
 
 class OnlineInitializer:
-    def __init__(self, n_gravity, R0: np.ndarray, n_kf: int = 8):
+    def __init__(self, n_gravity, R0: np.ndarray, n_kf: int | None = None):
+        from kimera_vio_tpu.config import flags as _flags
+
         self.n_gravity = np.asarray(n_gravity, np.float64)
-        self.n_kf = n_kf
+        # Window size from the gflags tier (reference num_frames_vio_init).
+        self.n_kf = (
+            int(_flags.get_flag("num_frames_vio_init"))
+            if n_kf is None
+            else n_kf
+        )
+        self._refine_iters = int(
+            _flags.get_flag("num_iterations_gravity_refinement")
+        )
+        self._max_gyro_residual = float(_flags.get_flag("gyroscope_residuals"))
         self.done = False
         # Visual pose chain in the crude world frame, seeded at the
         # bootstrap attitude.
@@ -78,12 +89,23 @@ class OnlineInitializer:
         R_vis = jnp.asarray(np.stack(self.R_chain), jnp.float32)
         p_vis = jnp.asarray(np.stack(self.p_chain), jnp.float32)
         mask = jnp.ones(F - 1, bool)
-        bg = estimate_gyro_bias(
-            R_vis,
-            jnp.asarray(np.stack([r["delta_R"] for r in rel]), jnp.float32),
-            jnp.asarray(np.stack([r["dR_dbg"] for r in rel]), jnp.float32),
-            mask,
+        pim_dR = jnp.asarray(np.stack([r["delta_R"] for r in rel]), jnp.float32)
+        dR_dbg = jnp.asarray(np.stack([r["dR_dbg"] for r in rel]), jnp.float32)
+        bg = estimate_gyro_bias(R_vis, pim_dR, dR_dbg, mask)
+        # Post-correction rotation residual gate (reference
+        # OnlineGravityAlignment gyroscope_residuals gflag: reject the
+        # window when the bias-corrected preintegrated rotations still
+        # disagree with vision — bad tracking or non-static bias).
+        from kimera_vio_tpu.common import geometry as _geo
+
+        R_rel = jnp.einsum("fji,fjk->fik", R_vis[:-1], R_vis[1:])
+        err = _geo.so3_log(
+            jnp.einsum("fji,fjk->fik", pim_dR, R_rel)
+        ) - jnp.einsum("fij,j->fi", dR_dbg, bg)
+        gyro_residual = float(
+            jnp.linalg.norm(err, axis=-1).mean()
         )
+        ok = gyro_residual <= self._max_gyro_residual
         # First-order bias correction of the PIM deltas before alignment
         # (the reference re-integrates; dR_dbg-based correction matches to
         # first order over these short intervals).
@@ -95,6 +117,7 @@ class OnlineInitializer:
             jnp.asarray(np.stack([r["delta_p"] for r in rel]), jnp.float32),
             mask,
             gravity_norm=float(np.linalg.norm(self.n_gravity)),
+            refine_iters=self._refine_iters,
         )
         g_est = np.asarray(gravity, np.float64)
         g_tgt = self.n_gravity
@@ -129,4 +152,6 @@ class OnlineInitializer:
             ),
             "gyro_bias": np.asarray(bg, np.float32),
             "gravity_crude_frame": g_est.astype(np.float32),
+            "ok": bool(ok),
+            "gyro_residual": gyro_residual,
         }

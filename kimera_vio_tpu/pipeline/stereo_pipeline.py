@@ -1693,8 +1693,14 @@ class StereoImuPipeline:
                 fe_state = fe_state.replace(
                     imu_bias=ImuBias(accel=bias0[0:3], gyro=bias0[3:6])
                 )
-                win = sm.bootstrap(cfg=self.backend_cfg, win=win, nav=nav0,
-                                   bias=bias0, stamp=jnp.float32(stamp_s))
+                win = sm.bootstrap(
+                    cfg=self.backend_cfg, win=win, nav=nav0, bias=bias0,
+                    stamp=jnp.float32(stamp_s),
+                    # Collection phase of autoInitialize: 2 — velocity is
+                    # a zero GUESS until the alignment solves for it;
+                    # loose prior (see sm.bootstrap docstring).
+                    vel_sigma=1.0 if initializer is not None else None,
+                )
                 if initializer == "pending":
                     from kimera_vio_tpu.initial.initializer import (
                         OnlineInitializer,
@@ -1785,28 +1791,64 @@ class StereoImuPipeline:
                     }
                     if initializer.add_keyframe(fo_np, stamp_s):
                         sol = initializer.solve()
-                        nav = NavState(
-                            rot=jnp.asarray(sol["R0"]),
-                            pos=jnp.asarray(sol["pos0"]),
-                            vel=jnp.asarray(sol["vel"]),
-                        )
-                        bias0 = jnp.concatenate(
-                            [jnp.zeros(3), jnp.asarray(sol["gyro_bias"])]
-                        )
-                        win = sm.Window.empty(K)
-                        lmk = sm.LandmarkTable.empty(L, K)
-                        win = sm.bootstrap(
-                            cfg=self.backend_cfg, win=win, nav=nav,
-                            bias=bias0, stamp=jnp.float32(stamp_s),
-                        )
-                        fe_state = fe_state.replace(
-                            imu_bias=ImuBias(
-                                accel=bias0[0:3], gyro=bias0[3:6]
-                            ),
-                            pim=imu.Pim.zero(
-                                ImuBias(accel=bias0[0:3], gyro=bias0[3:6])
-                            ),
-                        )
+                        if not sol.get("ok", True):
+                            # Post-bias-correction gyro residual above the
+                            # gyroscope_residuals gflag: reject this init
+                            # window and re-collect, anchored at the
+                            # current attitude estimate (reference
+                            # OnlineGravityAlignment returns false and the
+                            # initialization is retried).
+                            from kimera_vio_tpu.initial.initializer import (
+                                OnlineInitializer,
+                            )
+
+                            self.stats.add(
+                                "init window rejected [resid rad]",
+                                sol["gyro_residual"],
+                            )
+                            initializer = OnlineInitializer(
+                                self.params.imu.n_gravity,
+                                initializer.R_chain[-1],
+                            )
+                        else:
+                            nav = NavState(
+                                rot=jnp.asarray(sol["R0"]),
+                                pos=jnp.asarray(sol["pos0"]),
+                                vel=jnp.asarray(sol["vel"]),
+                            )
+                            bias0 = jnp.concatenate(
+                                [jnp.zeros(3), jnp.asarray(sol["gyro_bias"])]
+                            )
+                            win = sm.Window.empty(K)
+                            lmk = sm.LandmarkTable.empty(L, K)
+                            win = sm.bootstrap(
+                                cfg=self.backend_cfg, win=win, nav=nav,
+                                bias=bias0, stamp=jnp.float32(stamp_s),
+                            )
+                            fe_state = fe_state.replace(
+                                imu_bias=ImuBias(
+                                    accel=bias0[0:3], gyro=bias0[3:6]
+                                ),
+                                pim=imu.Pim.zero(
+                                    ImuBias(accel=bias0[0:3], gyro=bias0[3:6])
+                                ),
+                            )
+                            # The reference publishes NO backend states
+                            # until initialization succeeds (its backend
+                            # only starts after the alignment); states
+                            # estimated during the collection window used
+                            # a crude zero-velocity bootstrap and are
+                            # discarded — the published trajectory starts
+                            # at the aligned state (same restart shape as
+                            # the time-aligner path above).
+                            pending_outs.clear()
+                            out = PipelineOutput()
+                            self._record(out, stamp_ns, win, slot=0)
+                            out.n_keyframes += 1
+                            out.n_frames += 1
+                            # Drop this frame's pre-alignment outputs
+                            # (same continue as the aligner restart).
+                            continue
             pending_outs.append((stamp_ns, frame_out))
             if log_fe_imgs and bool(frame_out["is_keyframe"]):
                 self._log_frontend_img(

@@ -23,7 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 
 import numpy as np
 
@@ -37,7 +40,7 @@ REPS = int(os.environ.get("AUXBENCH_REPS", "4"))
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from kimera_vio_tpu.config.params import VioParams

@@ -174,3 +174,64 @@ def test_online_initializer_recovers_gyro_bias():
     assert ready
     sol = init.solve()
     np.testing.assert_allclose(sol["gyro_bias"], bg, atol=0.005)
+
+
+def test_online_initializer_gyro_residual_gate():
+    """The gyroscope_residuals gflag (OnlineGravityAlignment.cpp) rejects
+    an init window whose bias-corrected preintegrated rotations still
+    disagree with vision (broken tracking): solve() reports ok=False; a
+    consistent window reports ok=True."""
+    from kimera_vio_tpu.config import flags
+    from kimera_vio_tpu.initial.initializer import OnlineInitializer
+
+    R_vis, p_vis, v_gt, pims = simulate(n_frames=8)
+
+    def run(corrupt):
+        init = OnlineInitializer(G, R_vis[0], n_kf=8)
+        rng = np.random.default_rng(0)
+        for k in range(8):
+            if k == 0:
+                fo = {}
+            else:
+                Rr = R_vis[k - 1].T @ R_vis[k]
+                if corrupt:
+                    # Vision disagrees with the IMU by ~0.2 rad per
+                    # interval — no constant bias explains it.
+                    ax = rng.standard_normal(3)
+                    ax *= 0.2 / np.linalg.norm(ax)
+                    K = np.array(
+                        [[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                         [-ax[1], ax[0], 0]]
+                    )
+                    Rr = Rr @ (
+                        np.eye(3) + np.sin(1.0) * K + (1 - np.cos(1.0)) * K @ K
+                    )
+                tr = R_vis[k - 1].T @ (p_vis[k] - p_vis[k - 1])
+                p = pims[k - 1]
+                fo = dict(
+                    init_R_rel_body=Rr,
+                    init_t_rel_body=tr,
+                    init_pim_delta_R=np.asarray(p.delta_R),
+                    init_pim_delta_v=np.asarray(p.delta_v),
+                    init_pim_delta_p=np.asarray(p.delta_p),
+                    init_pim_dR_dbg=np.asarray(p.dR_dbg),
+                )
+            init.add_keyframe(fo, 0.2 * k)
+        return init.solve()
+
+    assert run(corrupt=False)["ok"]
+    bad = run(corrupt=True)
+    assert not bad["ok"]
+    assert bad["gyro_residual"] > flags.get_flag("gyroscope_residuals")
+
+
+def test_online_initializer_window_size_flag():
+    from kimera_vio_tpu.config import flags
+    from kimera_vio_tpu.initial.initializer import OnlineInitializer
+
+    try:
+        flags.set_flag("num_frames_vio_init", 5)
+        init = OnlineInitializer(G, np.eye(3))
+        assert init.n_kf == 5
+    finally:
+        flags.set_flag("num_frames_vio_init", None)
