@@ -1182,9 +1182,19 @@ class StereoImuPipeline:
         staged: _q.Queue = _q.Queue(maxsize=2)
 
         def stager():
-            for j, c in enumerate(supers):
-                staged.put((stage(c, super_shift_ns[j]), len(c), j))
-            staged.put(None)
+            # An exception here must PROPAGATE: a silently-dead stager
+            # leaves every consumer blocked in staged.get() forever.
+            try:
+                for j, c in enumerate(supers):
+                    staged.put((stage(c, super_shift_ns[j]), len(c), j))
+                staged.put(None)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                staged.put(("stager_error", e))
+
+        def _check_staged(item):
+            if isinstance(item, tuple) and item and item[0] == "stager_error":
+                raise RuntimeError("staging thread failed") from item[1]
+            return item
 
         th = threading.Thread(target=stager, daemon=True)
         th.start()
@@ -1345,7 +1355,7 @@ class StereoImuPipeline:
             fos_list = []
             while True:
                 tic = time.perf_counter()
-                item = staged.get()
+                item = _check_staged(staged.get())
                 self.stats.add(
                     "dispatch wait-for-stage [ms]",
                     (time.perf_counter() - tic) * 1e3,
@@ -1392,7 +1402,7 @@ class StereoImuPipeline:
             # (same keyframe lag class as run()'s aux_lag, here <= chunk).
             ci = 0
             while True:
-                item = staged.get()
+                item = _check_staged(staged.get())
                 if item is None:
                     break
                 payload, n_real, j = item
@@ -1436,7 +1446,7 @@ class StereoImuPipeline:
 
         ci = 0
         while True:
-            item = staged.get()
+            item = _check_staged(staged.get())
             if item is None:
                 break
             payload, n_real, j = item
